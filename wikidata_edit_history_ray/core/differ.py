@@ -855,10 +855,9 @@ class PageDiffer:
             if change:
                 meta = self.rev_meta
                 week, year_month, year = _time_buckets(meta["timestamp"])
-                redirect_qid = ""
-                if self.current_revision_redirect:
-                    redirect_qid = id_to_int(current_revision.get("redirect", "Q-1")) \
-                        if isinstance(current_revision, dict) else ""
+                redirect_qid = None
+                if self.current_revision_redirect and isinstance(current_revision, dict):
+                    redirect_qid = id_to_int(current_revision.get("redirect", "Q-1"))
                 self.revisions.append((
                     last_non_deleted_revision_id, revision_id, entity_id,
                     meta["timestamp"], week, year_month, year, meta["user_id"],

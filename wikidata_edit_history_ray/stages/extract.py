@@ -1,0 +1,225 @@
+"""The change-extraction stage: per-doc diffing inside `map_batches`.
+
+`ChangeExtractor` is a callable CLASS — passed to
+``ds.map_batches(ChangeExtractor, fn_constructor_kwargs=..., concurrency=N,
+batch_format="pyarrow")`` it becomes an actor pool whose per-worker setup
+(differ construction, aux dictionary loads / ``ray.get`` of broadcast refs)
+runs once per actor, mirroring the reference's per-process CSV dict loading
+(scripts/file_parser.py:84-88) without re-shipping state per batch.
+
+All diff state is per-document, so extraction is embarrassingly parallel and
+needs no shuffle; doc-level skew (hot entities with tens of thousands of
+revisions) surfaces as long tasks, mitigated upstream by splitting blocks on a
+span-count budget (sources/io.py).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+
+import pyarrow as pa
+
+from ..core.constants import TABLE_COLS
+from ..core.differ import DiffConfig, PageDiffer
+from .schemas import ERRORS_SCHEMA, ROUTING_COLS, TABLE_SCHEMAS
+
+_ROUTING_NAMES = [name for name, _ in ROUTING_COLS]
+
+
+def _maybe_get(obj):
+    """Dereference a ray.put broadcast handle if one was passed."""
+    try:
+        import ray
+
+        if isinstance(obj, ray.ObjectRef):
+            return ray.get(obj)
+    except ImportError:
+        pass
+    return obj
+
+
+def rows_to_table(table_name: str, rows: list, routing: list | None) -> pa.Table:
+    """Column-ize emitted row tuples into a typed Arrow table.
+
+    `routing` carries the per-row (doc_id, is_sa, is_ao, has_less) tuples for
+    change tables; None for doc_spans.
+    """
+    schema = TABLE_SCHEMAS[table_name]
+    ncols = len(TABLE_COLS[table_name])
+    if rows:
+        cols = list(zip(*rows))
+    else:
+        cols = [[] for _ in range(ncols)]
+    if routing is not None:
+        if routing:
+            cols = cols + list(zip(*routing))
+        else:
+            cols = cols + [[] for _ in _ROUTING_NAMES]
+    arrays = []
+    for field, col in zip(schema, cols):
+        if pa.types.is_string(field.type):
+            # PK components use the '' sentinel instead of NULL
+            col = ["" if v is None and field.name in ("value_id", "change_target")
+                   else (v if v is None or isinstance(v, str) else str(v))
+                   for v in col]
+        arrays.append(pa.array(col, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+class ChangeExtractor:
+    """Actor-pool stage: documents batch in → one logical table (or a tagged
+    union of all tables) out.
+
+    Parameters
+    - config: DiffConfig kwargs dict
+    - property_labels / sa_types / ao_types: plain objects or ray.put refs
+    - emit: table name to emit ('value_change', ...), or 'all' for the
+      multi-table dict used by the parquet multi-sink
+    """
+
+    def __init__(self, config: dict | None = None, property_labels=None,
+                 sa_types=None, ao_types=None, emit: str = "value_change"):
+        cfg = DiffConfig.from_dict(config or {})
+        self.differ = PageDiffer(
+            cfg,
+            property_labels=_maybe_get(property_labels) or {},
+            scholarly_article_types=set(_maybe_get(sa_types) or ()),
+            astronomical_object_types=set(_maybe_get(ao_types) or ()),
+        )
+        self.emit = emit
+
+    def extract_batch(self, batch: pa.Table, file_path: str = ""):
+        """Diff every doc in the batch; returns ({table: pa.Table}, errors)."""
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        buf = {t: [] for t in TABLE_COLS}
+        routing = {t: [] for t in TABLE_COLS}
+        errors = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            if not doc_id or not doc_id.startswith("Q"):
+                continue  # non-entity docs are filtered, like non-Q page titles
+            try:
+                out = self.differ.process_doc(doc_id, spans or [], file_path)
+            except Exception as e:  # poison doc: route to error table, keep going
+                errors.append((doc_id, f"{type(e).__name__}: {e}"))
+                continue
+            flag = (doc_id, out["is_scholarly_article"],
+                    out["is_astronomical_object"], out["has_less_revisions"])
+            for t in TABLE_COLS:
+                rows = out[t]
+                if rows:
+                    buf[t].extend(rows)
+                    if t != "doc_spans":
+                        routing[t].extend([flag] * len(rows))
+        tables = {
+            t: rows_to_table(t, buf[t], None if t == "doc_spans" else routing[t])
+            for t in TABLE_COLS
+        }
+        return tables, errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables, errors = self.extract_batch(batch)
+        if self.emit == "errors":
+            return pa.Table.from_arrays(
+                [pa.array([e[0] for e in errors], type=pa.string()),
+                 pa.array([e[1] for e in errors], type=pa.string())],
+                schema=ERRORS_SCHEMA)
+        return tables[self.emit]
+
+
+class MultiSinkExtractor(ChangeExtractor):
+    """Extraction with fan-out parquet sinks + per-partition lineage manifest.
+
+    Each batch is diffed once and every logical table is written to
+    `<output_dir>/<table>/part-<fingerprint>.parquet`. The returned batch is a
+    single manifest row per input partition (input fingerprint, row counts,
+    timings) — the tiny dataset the driver consumes, so the big outputs never
+    transit the object store twice. A partition whose manifest file already
+    exists is skipped wholesale (resume path).
+    """
+
+    def __init__(self, output_dir: str, config: dict | None = None,
+                 property_labels=None, sa_types=None, ao_types=None,
+                 compression: str = "zstd"):
+        super().__init__(config, property_labels, sa_types, ao_types, emit="all")
+        self.output_dir = output_dir
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        h = hashlib.sha1()
+        for d in doc_ids:
+            h.update(d.encode("utf-8"))
+        import pyarrow.compute as pc
+
+        num_spans = int(pc.sum(pc.list_value_length(batch.column("spans"))).as_py() or 0)
+        fingerprint = h.hexdigest()[:16]
+        part_id = f"part-{fingerprint}"
+        manifest_dir = os.path.join(self.output_dir, "_manifest")
+        manifest_path = os.path.join(manifest_dir, f"{part_id}.json")
+
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            m["resumed"] = True
+            return self._manifest_row(m)
+
+        t0 = time.time()
+        tables, errors = self.extract_batch(batch, file_path=part_id)
+        extract_seconds = time.time() - t0
+
+        t0 = time.time()
+        rows_per_table = {}
+        for name, table in tables.items():
+            rows_per_table[name] = table.num_rows
+            if table.num_rows == 0:
+                continue
+            tdir = os.path.join(self.output_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(table, os.path.join(tdir, f"{part_id}.parquet"),
+                           compression=self.compression)
+        if errors:
+            edir = os.path.join(self.output_dir, "errors")
+            os.makedirs(edir, exist_ok=True)
+            pq.write_table(
+                rows_to_table_errors(errors),
+                os.path.join(edir, f"{part_id}.parquet"),
+                compression=self.compression)
+            rows_per_table["errors"] = len(errors)
+        write_seconds = time.time() - t0
+
+        m = {
+            "partition_id": part_id,
+            "input_fingerprint": fingerprint,
+            "num_docs": len(doc_ids),
+            "num_spans": num_spans,
+            "rows_per_table": json.dumps(rows_per_table),
+            "extract_seconds": extract_seconds,
+            "write_seconds": write_seconds,
+            "resumed": False,
+        }
+        os.makedirs(manifest_dir, exist_ok=True)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, manifest_path)  # atomic: manifest is the commit point
+        return self._manifest_row(m)
+
+    @staticmethod
+    def _manifest_row(m: dict) -> pa.Table:
+        from .schemas import MANIFEST_SCHEMA
+
+        return pa.Table.from_pylist([{k: m.get(k) for k in MANIFEST_SCHEMA.names}],
+                                    schema=MANIFEST_SCHEMA)
+
+
+def rows_to_table_errors(errors) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([e[0] for e in errors], type=pa.string()),
+         pa.array([e[1] for e in errors], type=pa.string())],
+        schema=ERRORS_SCHEMA)
