@@ -1,44 +1,466 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship KG change-history extraction on sf0.001.
+`queries()` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); `oracle_sql()` gives the DuckDB-equivalent SQL for every
+operator expressible in ANSI SQL over the pre-registered testdata views
+(region nation customer supplier part orders lineitem events documents
+embeddings). KG-pipeline queries run over the deterministic synthetic
+interleaved-document corpus (BASELINE.json input_hint shape) and carry no SQL
+oracle — the pytest conformance suite covers them against the
+construction-time ground truth instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CACHE_DIR = "/tmp/widiff_cache"
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic corpus per sf tier (input_hint shape)
+# --------------------------------------------------------------------------
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        scale = float(name.replace("sf", ""))
+    except ValueError:
+        scale = 0.001
+    return max(100, int(200_000 * scale))
+
+
+def _corpus_path(sf_dir: str) -> str:
+    """Generate (once) and cache the synthetic interleaved-doc corpus for a
+    scale tier."""
+    from wikidata_edit_history_ray.sources.corpus import write_corpus_parquet
+
+    n = _corpus_docs_for(sf_dir)
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = os.path.join(_CACHE_DIR, f"docs_{n}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_corpus_parquet(tmp, n, seed=42, hot_doc_revisions=1000,
+                             hot_doc_every=max(10, n // 10))
+        os.replace(tmp, path)
+    return path
+
+
+def _docs_ds(sf_dir: str):
+    from wikidata_edit_history_ray.sources.io import read_documents
+
+    return read_documents(_corpus_path(sf_dir))
+
+
+def _kg_table(sf_dir: str, table: str):
+    from wikidata_edit_history_ray.pipelines.kg import extract_table
+    from wikidata_edit_history_ray.sources.corpus import AO_TYPES, SA_TYPES
+
+    return extract_table(_docs_ds(sf_dir), table, sa_types=set(SA_TYPES),
+                         ao_types=set(AO_TYPES), concurrency=4)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG change-history triples (value_change) on sf0.001."""
+    return _kg_table("/root/testdata/sf0.001", "value_change")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable operator queries over the testdata views
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact_docs(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(ds, text_col="text", id_col="doc_id") \
+        .select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+def _q_doc_token_stats(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from wikidata_edit_history_ray.stages.text_ops import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text", "n_chars"])
+    t = ds.map_batches(token_counts, batch_format="pyarrow")
+    out = t.groupby("lang").aggregate(
+        Count(alias_name="num_docs"),
+        Sum("ws_token_count", alias_name="total_tokens"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    return _round_cols(out, ["avg_chars"])
+
+
+def _q_doc_char_classes(sf_dir: str):
+    """Per-source character-class profile (quality-scoring building blocks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n_digits": pc.cast(pc.count_substring_regex(
+                batch.column("text"), pattern="[0-9]"), pa.int64()),
+            "n_spaces": pc.cast(pc.count_substring_regex(
+                batch.column("text"), pattern=" "), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow").groupby("source").aggregate(
+        Count(alias_name="num_docs"),
+        Sum("n_digits", alias_name="total_digits"),
+        Sum("n_spaces", alias_name="total_spaces"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+
+def _q_events_type_stats(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+    # distinct users: two-phase groupby; totals ride along via partial sums
+    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="v"))
+    out = per_user.groupby("event_type").aggregate(
+        Count(alias_name="num_users"),
+        Sum("n", alias_name="num_events"),
+        Sum("v", alias_name="total_value"),
+    )
+    return _round_cols(out, ["total_value"])
+
+
+def _q_events_monthly(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ym = pc.strftime(batch.column("ts"), format="%Y-%m")
+        return pa.table({"year_month": ym, "value": batch.column("value")})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow").groupby("year_month") \
+        .aggregate(Count(alias_name="num_events"), Sum("value", alias_name="total_value"))
+    return _round_cols(out, ["total_value"])
+
+
+def _q_top_users_by_value(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    agg = _round_cols(agg, ["total_value"])
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+
+def _q_lineitem_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("revenue", rev)
+
+    out = ds.map_batches(revenue, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_discount"),
+            Count(alias_name="count_order"))
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_revenue", "avg_discount"])
+
+
+def _q_customer_nation_counts(sf_dir: str):
+    """Broadcast join: tiny nation dim captured in the UDF, no shuffle join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        names = [lookup.get(k, "") for k in batch.column("c_nationkey").to_pylist()]
+        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+
+    return ds.map_batches(enrich, batch_format="pyarrow").groupby("n_name") \
+        .aggregate(Count(alias_name="num_customers"))
+
+
+def _q_knn_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q = np.array(first.column("embedding").to_pylist(), dtype=np.float32)
+    out = brute_force_topk(ds, q, k=10)
+    return out.select_columns(["query_idx", "vec_id"])
+
+
+def _round_cols(ds, cols, digits: int = 3):
+    """Round float aggregate columns so Ray's and DuckDB's summation orders
+    hash identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def do(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.round(
+                pc.cast(batch.column(c), pa.float64()), ndigits=digits))
+        return batch
+
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# rows-only operator queries (not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup(ds).select_columns(["doc_id", "lang", "source"])
+
+
+def _q_simhash_dedup(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import simhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup(ds).select_columns(["doc_id", "lang", "source"])
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import embedding_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup(ds).select_columns(["vec_id", "label"])
+
+
+def _q_text_analysis(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import analyze_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_text(ds)
+    return out.select_columns(["doc_id", "detected_lang", "ws_token_count",
+                               "bpe_token_count", "quality_score", "fingerprint"])
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.media import (extract_media_features,
+                                                        make_media_table)
+
+    n = max(20, _corpus_docs_for(sf_dir) // 10)
+    t = make_media_table([f"media://img/{i:06d}.png" for i in range(n)])
+    return extract_media_features(ray.data.from_arrow(t), batch_size=16,
+                                  concurrency=2)
+
+
+def _q_ivf_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q = np.array(first.column("embedding").to_pylist(), dtype=np.float32)
+    return ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4) \
+        .select_columns(["query_idx", "vec_id"])
+
+
+def _q_kg(table: str):
+    def f(sf_dir: str):
+        return _kg_table(sf_dir, table)
+
+    return f
+
+
+def _q_kg_property_stats(sf_dir: str):
+    from wikidata_edit_history_ray.pipelines.analysis import property_stats
+
+    return property_stats(_kg_table(sf_dir, "value_change"))
+
+
+def _q_kg_corpus_stats(sf_dir: str):
+    import pandas as pd
+
+    from wikidata_edit_history_ray.pipelines.analysis import corpus_stats
+
+    return pd.DataFrame([corpus_stats(_kg_table(sf_dir, "entity_stats"))])
+
+
+def _q_kg_entity_type_stats(sf_dir: str):
+    from wikidata_edit_history_ray.pipelines.analysis import entity_type_stats
+
+    return entity_type_stats(_kg_table(sf_dir, "entity_stats"))
+
+
+def _q_kg_features_entity_enriched(sf_dir: str):
+    from wikidata_edit_history_ray.stages.enrich import enrich_entity_features
+
+    fe = _kg_table(sf_dir, "features_entity")
+    return enrich_entity_features(fe, entity_labels={}, concurrency=2) \
+        .select_columns(["revision_id", "property_id", "value_id", "old_value",
+                         "new_value", "is_link_change", "label_cosine_similarity"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
+        "kg_value_change": _q_kg("value_change"),
+        "kg_revision": _q_kg("revision"),
+        "kg_qualifier_change": _q_kg("qualifier_change"),
+        "kg_reference_change": _q_kg("reference_change"),
+        "kg_datatype_metadata_change": _q_kg("datatype_metadata_change"),
+        "kg_entity_stats": _q_kg("entity_stats"),
+        "kg_doc_spans": _q_kg("doc_spans"),
+        "kg_features_text": _q_kg("features_text"),
+        "kg_features_time": _q_kg("features_time"),
+        "kg_property_stats": _q_kg_property_stats,
+        "kg_corpus_stats": _q_kg_corpus_stats,
+        "kg_entity_type_stats": _q_kg_entity_type_stats,
+        "kg_features_entity_enriched": _q_kg_features_entity_enriched,
+        # --- SQL-checked operators over the testdata views ---
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_char_classes": _q_doc_char_classes,
+        "events_type_stats": _q_events_type_stats,
+        "events_monthly": _q_events_monthly,
+        "top_users_by_value": _q_top_users_by_value,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "customer_nation_counts": _q_customer_nation_counts,
+        "knn_topk": _q_knn_topk,
+        # --- rows-only operators ---
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_dedup_docs": _q_simhash_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "text_analysis": _q_text_analysis,
+        "media_features": _q_media_features,
+        "ivf_topk": _q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact_docs": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+              FROM documents) WHERE rn = 1
+        """,
+        "doc_token_stats": """
+            SELECT lang, COUNT(*)::BIGINT AS num_docs,
+                   SUM(length(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens,
+                   ROUND(AVG(n_chars), 3) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_char_classes": """
+            SELECT source, COUNT(*)::BIGINT AS num_docs,
+                   SUM(length(regexp_extract_all(text, '[0-9]')))::BIGINT AS total_digits,
+                   SUM(length(regexp_extract_all(text, ' ')))::BIGINT AS total_spaces,
+                   SUM(length(text))::BIGINT AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "events_type_stats": """
+            SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS num_users,
+                   COUNT(*)::BIGINT AS num_events,
+                   ROUND(SUM(value), 3) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "events_monthly": """
+            SELECT strftime(ts, '%Y-%m') AS year_month,
+                   COUNT(*)::BIGINT AS num_events,
+                   ROUND(SUM(value), 3) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "top_users_by_value": """
+            SELECT user_id, ROUND(SUM(value), 3) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 3) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_revenue,
+                   ROUND(AVG(l_discount), 3) AS avg_discount,
+                   COUNT(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_nation_counts": """
+            SELECT n.n_name AS n_name, COUNT(*)::BIGINT AS num_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "knn_topk": """
+            WITH q AS (
+              SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS query_idx,
+                     embedding AS qv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)
+            ), scored AS (
+              SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS score,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_idx
+                                        ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                                 e.vec_id) AS rk
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_idx, vec_id FROM scored WHERE rk <= 10
+        """,
+    }

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the headline KG extraction twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
+plus scaling efficiency (the sandbox stand-in for the N vs 4N cluster-size
+criterion; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "kg_value_change",
+    "kg_entity_stats",
+    "kg_property_stats",
+    "dedup_exact_docs",
+    "minhash_dedup_docs",
+    "text_analysis",
+    "knn_topk",
+    "events_type_stats",
+    "lineitem_pricing_summary",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count without materializing to the driver."""
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.count()
+    except ImportError:
+        pass
+    return len(result)
+
+
+def _corpus_doc_count(sf_dir: str) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    import pyarrow.parquet as pq
+
+    path = entrymod._corpus_path(sf_dir)
+    return pq.read_metadata(path).num_rows
+
+
+def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    names = queries or HEADLINE_QUERIES
+    timings = {}
+    t_all = time.time()
+    n_docs = _corpus_doc_count(sf_dir)  # pre-generate corpus outside timing
+    for name in names:
+        t0 = time.time()
+        _consume(qmap[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    kg_time = timings.get("kg_value_change", None)
+    out = {
+        "metric": "headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "kg_docs": n_docs,
+        "docs_per_sec": round(n_docs / kg_time, 1) if kg_time else None,
+    }
+    return out
+
+
+def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
+    """Run ONLY the KG extraction in this (fresh) process and print a JSON line."""
+    out = run_bench(sf_dir, num_cpus, queries=["kg_value_change"])
+    print("SCALING_RESULT " + json.dumps(out), flush=True)
+    import ray
+
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes; efficiency =
+    (T8/T32) / (32/8)."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(cpus), sf_dir],
+            capture_output=True, text=True, timeout=3600)
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith("SCALING_RESULT ")), None)
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise RuntimeError(f"scaling child (cpus={cpus}) produced no result")
+        results[cpus] = json.loads(line[len("SCALING_RESULT "):])
+    t8 = results[8]["queries"]["kg_value_change"]
+    t32 = results[32]["queries"]["kg_value_change"]
+    n_docs = results[32]["kg_docs"]
+    thr8 = n_docs / t8
+    thr32 = n_docs / t32
+    efficiency = (thr32 / thr8) / (32 / 8)
+    out = {
+        "metric": "kg extraction scaling 8->32 cpus",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "queries": {"kg_value_change_8cpu": t8, "kg_value_change_32cpu": t32},
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": 32,
+        "docs_per_sec_8cpu": round(thr8, 1),
+        "docs_per_sec_32cpu": round(thr32, 1),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    return out
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--scaling-child":
+        _scaling_child(args[2], int(args[1]))
+        return
+    if args and args[0] == "--scaling":
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    out = run_bench(SF_DIR, NUM_CPUS)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""Tests for dedup / text / similarity / media / enrichment / analysis
+operators, cross-checked against DuckDB where SQL can express the semantics."""
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestExactDedup:
+    def test_matches_duckdb_window(self, ray_session, docs_ds):
+        from wikidata_edit_history_ray.stages.dedup_ops import exact_dedup
+
+        got = exact_dedup(docs_ds, text_col="text", id_col="doc_id")
+        got_ids = sorted(r["doc_id"] for r in got.select_columns(["doc_id"]).take_all())
+        expected = duckdb.sql(f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+              FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE rn = 1
+            ORDER BY doc_id""").fetchall()
+        assert got_ids == [r[0] for r in expected]
+
+
+class TestMinhashSimhash:
+    def test_minhash_removes_near_dupes_keeps_distinct(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import minhash_lsh_dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep dark forest tonight while stars shine")
+        near = base.replace("tonight", "at midnight")
+        distinct = "completely different content about databases and query engines"
+        t = pa.table({"doc_id": [1, 2, 3],
+                      "text": [base, near, distinct]})
+        out = minhash_lsh_dedup(ray.data.from_arrow(t), jaccard_threshold=0.5)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        assert ids == [1, 3]
+
+    def test_simhash_dedup(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import simhash_dedup
+
+        base = " ".join(f"token{i}" for i in range(60))
+        near = base.replace("token5 ", "tok5 ")
+        distinct = " ".join(f"other{i}" for i in range(60))
+        t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, distinct]})
+        out = simhash_dedup(ray.data.from_arrow(t), max_hamming=8)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        assert ids == [1, 3]
+
+    def test_ngram_jaccard(self):
+        from wikidata_edit_history_ray.stages.dedup_ops import ngram_jaccard
+
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+class TestEmbeddingOps:
+    def test_brute_force_topk_matches_duckdb(self, ray_session, emb_ds):
+        from wikidata_edit_history_ray.stages.similarity import brute_force_topk
+
+        first = emb_ds.take(1)[0]
+        q = np.array([first["embedding"]], dtype=np.float32)
+        got = brute_force_topk(emb_ds, q, k=5).take_all()
+        got_ids = [r["vec_id"] for r in sorted(got, key=lambda r: -r["score"])]
+        expected = duckdb.sql(f"""
+            WITH q AS (SELECT embedding qv FROM read_parquet('{SF_DIR}/embeddings.parquet')
+                       ORDER BY vec_id LIMIT 1)
+            SELECT vec_id FROM read_parquet('{SF_DIR}/embeddings.parquet'), q
+            ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id LIMIT 5
+        """).fetchall()
+        assert got_ids[0] == expected[0][0]
+        assert set(got_ids) == {r[0] for r in expected}
+
+    def test_ivf_recall_against_exact(self, ray_session, emb_ds):
+        from wikidata_edit_history_ray.stages.similarity import brute_force_topk, ivf_topk
+
+        rows = emb_ds.take(3)
+        q = np.array([r["embedding"] for r in rows], dtype=np.float32)
+        exact = brute_force_topk(emb_ds, q, k=10).take_all()
+        approx = ivf_topk(emb_ds, q, k=10, n_centroids=8, nprobe=4).take_all()
+        for qi in range(3):
+            e = {r["vec_id"] for r in exact if r["query_idx"] == qi}
+            a = {r["vec_id"] for r in approx if r["query_idx"] == qi}
+            assert len(e & a) / len(e) >= 0.5  # recall vs exact with 4/8 probes
+
+    def test_embedding_dedup_drops_duplicate_vector(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import embedding_dedup
+
+        rng = np.random.RandomState(0)
+        v1 = rng.randn(16).astype(np.float32)
+        v3 = rng.randn(16).astype(np.float32)
+        t = pa.table({"vec_id": [1, 2, 3],
+                      "embedding": [v1.tolist(), (v1 * 2).tolist(), v3.tolist()]})
+        out = embedding_dedup(ray.data.from_arrow(t), cosine_threshold=0.99)
+        assert sorted(r["vec_id"] for r in out.take_all()) == [1, 3]
+
+
+class TestTextOps:
+    def test_language_id(self, ray_session):
+        from wikidata_edit_history_ray.stages.text_ops import detect_language
+
+        assert detect_language("the cat and the dog are in the house") == "en"
+        assert detect_language("der Hund und die Katze sind schön") == "de"
+
+    def test_token_counts_match_duckdb(self, ray_session, docs_ds):
+        from wikidata_edit_history_ray.stages.text_ops import token_counts
+
+        got = docs_ds.map_batches(token_counts, batch_format="pyarrow") \
+            .select_columns(["doc_id", "ws_token_count"]).take_all()
+        got_map = {r["doc_id"]: r["ws_token_count"] for r in got}
+        exp = duckdb.sql(f"""
+            SELECT doc_id, length(regexp_extract_all(text, '\\S+'))
+            FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+        for doc_id, n in exp:
+            assert got_map[doc_id] == n
+
+    def test_quality_and_fingerprint_deterministic(self, ray_session, docs_ds):
+        from wikidata_edit_history_ray.stages.text_ops import analyze_text
+
+        out = analyze_text(docs_ds.limit(50)).take_all()
+        assert all(0 <= r["quality_score"] <= 1 for r in out)
+        out2 = analyze_text(docs_ds.limit(50)).take_all()
+        fp1 = {r["doc_id"]: r["fingerprint"] for r in out}
+        fp2 = {r["doc_id"]: r["fingerprint"] for r in out2}
+        assert fp1 == fp2
+
+
+class TestMediaStage:
+    def test_media_feature_plumbing(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.media import (
+            extract_media_features, make_media_table)
+
+        t = make_media_table([f"media://img/{i:04d}.png" for i in range(10)])
+        out = extract_media_features(ray.data.from_arrow(t), batch_size=4).take_all()
+        assert len(out) == 10
+        assert all(len(r["media_features"]) == 16 for r in out)
+        assert all(r["decoded_width"] == 32 for r in out)
+        # deterministic across runs
+        out2 = extract_media_features(ray.data.from_arrow(t), batch_size=4).take_all()
+        f1 = {r["media_ref"]: r["media_features"] for r in out}
+        f2 = {r["media_ref"]: r["media_features"] for r in out2}
+        assert f1 == f2
+
+
+class TestEnrichment:
+    def test_entity_feature_enrichment(self, ray_session, tmp_path):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.enrich import (
+            EntityFeatureEnricher, HashingEmbedder)
+        from wikidata_edit_history_ray.state.closure import TransitiveClosureCache
+
+        cache = TransitiveClosureCache.from_edges({
+            "subclass_transitive": [("Q5", "Q100"), ("Q100", "Q200")],
+        })
+        labels = {"Q5": ("human", "a person"), "Q200": ("entity", "top class")}
+        enricher = EntityFeatureEnricher(entity_labels=labels, closure_cache=cache,
+                                         embedder=HashingEmbedder())
+        from wikidata_edit_history_ray.stages.schemas import TABLE_SCHEMAS
+
+        schema = TABLE_SCHEMAS["features_entity"]
+        row = {f.name: None for f in schema}
+        row.update({"revision_id": 1, "property_id": 31, "value_id": "x",
+                    "change_target": "", "action": "UPDATE",
+                    "old_value": '"Q5"', "new_value": '"Q200"',
+                    "doc_id": "Q1", "is_scholarly_article": False,
+                    "is_astronomical_object": False, "has_less_revisions": True})
+        batch = pa.Table.from_pylist([row], schema=schema)
+        out = enricher(batch).to_pylist()[0]
+        assert out["old_value_label"] == "human"
+        assert out["new_value_label"] == "entity"
+        assert out["old_value_subclass_new_value"] == 1  # Q5 ->* Q200
+        assert out["new_value_subclass_old_value"] == 0
+        assert out["is_link_change"] == 0
+        assert -1.0 <= out["label_cosine_similarity"] <= 1.0
+
+    def test_closure_from_edges_transitivity(self):
+        from wikidata_edit_history_ray.state.closure import TransitiveClosureCache
+
+        cache = TransitiveClosureCache.from_edges({
+            "part_of_transitive": [("Qa", "Qb"), ("Qb", "Qc"), ("Qc", "Qd")]})
+        assert cache.check("Qa", "Qd", "part_of_transitive") == 1
+        assert cache.check("Qd", "Qa", "part_of_transitive") == 0
+
+
+class TestAnalysis:
+    @pytest.fixture(scope="class")
+    def vc_and_stats(self, ray_session, corpus_parquet):
+        from wikidata_edit_history_ray.pipelines.kg import extract_table
+        from wikidata_edit_history_ray.sources.io import read_documents
+
+        ds = read_documents(corpus_parquet)
+        vc = extract_table(ds, "value_change", concurrency=2).materialize()
+        es = extract_table(ds, "entity_stats", concurrency=2).materialize()
+        return vc, es
+
+    def test_property_stats_vs_duckdb(self, vc_and_stats):
+        from wikidata_edit_history_ray.pipelines.analysis import property_stats
+
+        vc, _ = vc_and_stats
+        got = {r["property_id"]: r for r in property_stats(vc).take_all()}
+        con = duckdb.connect()
+        con.register("vc", vc.to_pandas())
+        exp = con.sql("""
+            SELECT property_id, COUNT(DISTINCT entity_id) ne, COUNT(*) nc,
+                   COUNT(*) FILTER (action='CREATE') ncr
+            FROM vc GROUP BY property_id""").fetchall()
+        for pid, ne, nc, ncr in exp:
+            assert got[pid]["num_entities"] == ne
+            assert got[pid]["num_changes"] == nc
+            assert got[pid]["num_creates"] == ncr
+
+    def test_corpus_stats_and_distribution(self, vc_and_stats):
+        from wikidata_edit_history_ray.pipelines.analysis import (
+            corpus_stats, revision_distribution, top_k)
+
+        _, es = vc_and_stats
+        g = corpus_stats(es)
+        assert g["num_entities"] == es.count()
+        assert g["total_revisions"] > 0
+        dist = revision_distribution(es).take_all()
+        assert sum(r["num_entities"] for r in dist) == es.count()
+        top = top_k(es, "num_value_changes", k=5).take_all()
+        assert len(top) == 5
+        assert top[0]["num_value_changes"] >= top[-1]["num_value_changes"]

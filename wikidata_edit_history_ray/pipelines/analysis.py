@@ -1,0 +1,123 @@
+"""Analysis aggregates over the extracted change tables (operators A2-A5).
+
+Ray-Data-first shapes:
+- pre-aggregate inside map_batches (combiner) before the groupby so the
+  shuffle moves per-(key)-partials, not raw change rows;
+- distinct counts via two-phase groupby;
+- global stats via Dataset.aggregate.
+
+Reference analogs: analysis/sql/stats_properties.sql, stats_entity_type.sql,
+stats_sa_ao.sql, analysis/scripts/general_analysis.py:268-336.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _partial_property_counts(batch: pa.Table) -> pa.Table:
+    """Combiner: value_change rows -> (property_id, entity_id) partial counts
+    with per-action breakdowns."""
+    import pyarrow.compute as pc
+
+    keys = ["property_id", "entity_id"]
+    action = batch.column("action")
+    t = batch.select(keys).append_column(
+        "num_changes", pa.array([1] * batch.num_rows, type=pa.int64()))
+    for act, col in (("CREATE", "num_creates"), ("DELETE", "num_deletes"),
+                     ("UPDATE", "num_updates")):
+        t = t.append_column(col, pc.cast(pc.equal(action, act), pa.int64()))
+    return t.group_by(keys).aggregate([
+        ("num_changes", "sum"), ("num_creates", "sum"),
+        ("num_deletes", "sum"), ("num_updates", "sum"),
+    ]).rename_columns(keys + ["num_changes", "num_creates", "num_deletes", "num_updates"])
+
+
+def property_stats(value_change_ds):
+    """Per-property: distinct entity count + change counts by action (A2).
+
+    Two-phase: block-local combine on (property_id, entity_id), one shuffle on
+    that composite key, then a cheap per-property rollup of the (already tiny)
+    per-entity partials.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    partial = value_change_ds.map_batches(
+        _partial_property_counts, batch_format="pyarrow")
+    per_entity = partial.groupby(["property_id", "entity_id"]).aggregate(
+        Sum("num_changes", alias_name="num_changes"),
+        Sum("num_creates", alias_name="num_creates"),
+        Sum("num_deletes", alias_name="num_deletes"),
+        Sum("num_updates", alias_name="num_updates"),
+    )
+    return per_entity.groupby("property_id").aggregate(
+        Count(alias_name="num_entities"),
+        Sum("num_changes", alias_name="num_changes"),
+        Sum("num_creates", alias_name="num_creates"),
+        Sum("num_deletes", alias_name="num_deletes"),
+        Sum("num_updates", alias_name="num_updates"),
+    )
+
+
+def entity_type_stats(entity_stats_ds, type_labels=None):
+    """Explode the comma-separated P31 type list, count entities per type, and
+    enrich with a broadcast label lookup (A3)."""
+    from ray.data.aggregate import Count, Sum
+
+    labels = dict(type_labels or {})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        types_col = batch.column("entity_types_31").to_pylist()
+        nvc = batch.column("num_value_changes").to_pylist()
+        out_type, out_label, out_nvc = [], [], []
+        for types, n in zip(types_col, nvc):
+            for t in (types or "").split(", "):
+                if t:
+                    out_type.append(t)
+                    out_label.append(labels.get(t, ""))
+                    out_nvc.append(n)
+        return pa.table({
+            "individual_type": pa.array(out_type, type=pa.string()),
+            "type_label": pa.array(out_label, type=pa.string()),
+            "num_value_changes": pa.array(out_nvc, type=pa.int64()),
+        })
+
+    return explode_ds(entity_stats_ds, explode).groupby(
+        ["individual_type", "type_label"]).aggregate(
+        Count(alias_name="num_entities"),
+        Sum("num_value_changes", alias_name="num_value_changes"))
+
+
+def explode_ds(ds, fn):
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_stats(entity_stats_ds):
+    """Global corpus aggregates (A4): one Dataset.aggregate pass."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    return entity_stats_ds.aggregate(
+        Count(alias_name="num_entities"),
+        Sum("num_revisions", alias_name="total_revisions"),
+        Sum("num_value_changes", alias_name="total_value_changes"),
+        Sum("num_qualifier_changes", alias_name="total_qualifier_changes"),
+        Sum("num_reference_changes", alias_name="total_reference_changes"),
+        Sum("num_reverted_edits", alias_name="total_reverted_edits"),
+        Sum("num_bot_edits", alias_name="total_bot_edits"),
+        Mean("num_revisions", alias_name="avg_revisions_per_entity"),
+        Min("num_revisions", alias_name="min_revisions"),
+        Max("num_revisions", alias_name="max_revisions"),
+    )
+
+
+def revision_distribution(entity_stats_ds):
+    """Histogram of revisions-per-entity (A5)."""
+    from ray.data.aggregate import Count
+
+    return entity_stats_ds.groupby("num_revisions").aggregate(
+        Count(alias_name="num_entities"))
+
+
+def top_k(ds, key: str, k: int = 10, descending: bool = True):
+    """Top-k rows by a column: sort + limit (reference: nlargest in
+    analysis/scripts/general_analysis.py:99-110)."""
+    return ds.sort(key, descending=descending).limit(k)

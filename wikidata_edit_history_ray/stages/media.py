@@ -1,0 +1,101 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque `binary` columns. Decode / resize /
+feature-extract run as actor-pool map_batches stages with SMALL batch sizes
+(large payloads x batch x concurrency must fit worker heaps). The actual codec
+libraries are not in this container, so the decode kernel is stubbed: real Ray
+plumbing (schema, batch sizing, actor signature, output layout), deterministic
+fake decode — swap `_decode_image_real` in when PIL/libav are present.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),     # image | audio | video
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 (not in this container); "
+        "deterministic fake used instead — see DecodeStage(fake=True)")
+
+
+def _decode_image_fake(payload: bytes, h: int = 32, w: int = 32) -> np.ndarray:
+    """Deterministic pixels from the payload hash — stable across runs, so the
+    downstream plumbing (shapes, dtypes, feature vectors) is real and testable."""
+    seed = int.from_bytes(hashlib.sha1(payload or b"").digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class MediaFeatureStage:
+    """Actor stage: decode each payload, emit a small feature vector + shape
+    metadata. Keep batch_size small (payloads are large)."""
+
+    def __init__(self, fake: bool = True, feature_dim: int = 16):
+        self.decode = _decode_image_fake if fake else _decode_image_real
+        self.feature_dim = feature_dim
+
+    def _features(self, img: np.ndarray) -> np.ndarray:
+        # channel means/stds + a coarse luminance histogram
+        means = img.mean(axis=(0, 1)) / 255.0
+        stds = img.std(axis=(0, 1)) / 255.0
+        lum = img.mean(axis=2)
+        hist, _ = np.histogram(lum, bins=self.feature_dim - 6, range=(0, 255))
+        hist = hist / max(hist.sum(), 1)
+        return np.concatenate([means, stds, hist]).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats, widths, heights = [], [], []
+        for p in payloads:
+            img = self.decode(p)
+            feats.append(self._features(img))
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        out = batch.drop_columns(["payload"])  # decoded: payload no longer rides along
+        out = out.append_column("decoded_width", pa.array(widths, type=pa.int32()))
+        out = out.append_column("decoded_height", pa.array(heights, type=pa.int32()))
+        return out.append_column(
+            "media_features", pa.array([f.tolist() for f in feats],
+                                       type=pa.list_(pa.float32())))
+
+
+def extract_media_features(ds, concurrency=None, batch_size: int = 16, fake: bool = True):
+    """media table -> features; small batches by design (binary payloads).
+
+    concurrency=N runs an actor pool (appropriate when the real decoder holds
+    heavy codec state); default runs task-based with the lightweight stub."""
+    if concurrency:
+        return ds.map_batches(
+            MediaFeatureStage, fn_constructor_kwargs=dict(fake=fake),
+            batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(MediaFeatureStage(fake=fake), batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def make_media_table(refs, seed: int = 3) -> pa.Table:
+    """Deterministic fake media table for the given media_refs."""
+    rng = np.random.RandomState(seed)
+    payloads = []
+    for r in refs:
+        n = 256 + int(hashlib.sha1(r.encode()).digest()[0])
+        payloads.append(bytes(rng.randint(0, 256, size=n, dtype=np.uint8)))
+    return pa.table({
+        "media_ref": pa.array(list(refs), type=pa.string()),
+        "media_type": pa.array(["image"] * len(refs), type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([32] * len(refs), type=pa.int32()),
+        "height": pa.array([32] * len(refs), type=pa.int32()),
+        "duration_ms": pa.array([0] * len(refs), type=pa.int32()),
+    })

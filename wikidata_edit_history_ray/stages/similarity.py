@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k — numpy matmul per batch against a
+  broadcast query matrix, merge per-batch candidates (the baseline).
+- ivf_topk: IVF-style scale path — k-means coarse centroids (built on a
+  sample), probe only the nearest partitions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchTopK:
+    """map_batches actor: per-batch exact top-k against the broadcast query
+    matrix; emits (query_idx, id, score) candidates only — k rows per query
+    per batch, so the reduce side merges candidates, never raw vectors."""
+
+    def __init__(self, query_matrix, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        try:
+            import ray
+
+            if isinstance(query_matrix, ray.ObjectRef):
+                query_matrix = ray.get(query_matrix)
+        except ImportError:
+            pass
+        self.q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        if not ids:
+            return pa.table({"query_idx": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        vecs = _normalize(np.array(batch.column(self.vec_col).to_pylist(),
+                                   dtype=np.float32))
+        scores = self.q @ vecs.T  # (n_queries, n_batch)
+        k = min(self.k, scores.shape[1])
+        top_idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        ids_arr = np.asarray(ids)
+        for qi in range(scores.shape[0]):
+            sel = top_idx[qi]
+            out_q.extend([qi] * len(sel))
+            out_id.extend(ids_arr[sel].tolist())
+            out_s.extend(scores[qi, sel].tolist())
+        return pa.table({"query_idx": pa.array(out_q, type=pa.int64()),
+                         self.id_col: pa.array(out_id, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+
+def brute_force_topk(ds, query_matrix, k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id", concurrency=None):
+    """Exact cosine top-k: map_batches candidates -> tiny global merge.
+
+    Returns a Dataset of (query_idx, id, score), k rows per query.
+    """
+    # instance => task-based map_batches: the small query matrix ships in the
+    # task spec, and no actor pool reserves CPUs away from the downstream
+    # shuffle (an actor pool sized to the whole cluster can starve it)
+    stage = BatchTopK(query_matrix=np.asarray(query_matrix, dtype=np.float32),
+                      k=k, vec_col=vec_col, id_col=id_col)
+    candidates = ds.map_batches(stage, batch_format="pyarrow",
+                                concurrency=concurrency)
+
+    def merge(group):
+        return group.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return candidates.groupby("query_idx").map_groups(merge, batch_format="pandas")
+
+
+class IVFIndex:
+    """Coarse k-means partitions for the scale path: assign each vector to its
+    nearest centroid (one pass), store centroid id as a partition column; a
+    query probes only nprobe partitions. Centroids are trained on a driver-side
+    sample (small) and broadcast."""
+
+    @staticmethod
+    def train_centroids(sample_vecs: np.ndarray, n_centroids: int = 16,
+                        iters: int = 10, seed: int = 0) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        X = _normalize(np.asarray(sample_vecs, dtype=np.float32))
+        idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+        C = X[idx].copy()
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(len(C)):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C = _normalize(C)
+        return C
+
+    @staticmethod
+    def assign_stage(centroids):
+        C = _normalize(np.asarray(centroids, dtype=np.float32))
+
+        def assign(batch: pa.Table, vec_col="embedding") -> pa.Table:
+            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            if len(vecs) == 0:
+                return batch.append_column("ivf_cell", pa.array([], type=pa.int64()))
+            cells = np.argmax(_normalize(vecs) @ C.T, axis=1).astype(np.int64)
+            return batch.append_column("ivf_cell", pa.array(cells, type=pa.int64()))
+
+        return assign
+
+
+def ivf_topk(ds, query_matrix, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 2000):
+    """IVF approximate top-k: train centroids on a sample, filter to the nprobe
+    nearest cells per query union, then exact top-k within the probed subset."""
+    sample = ds.limit(sample_size).take_all()
+    sample_vecs = np.array([r[vec_col] for r in sample], dtype=np.float32)
+    C = IVFIndex.train_centroids(sample_vecs, n_centroids)
+    assign = IVFIndex.assign_stage(C)
+    ds_cells = ds.map_batches(lambda b: assign(b, vec_col), batch_format="pyarrow")
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    probe_cells = set()
+    cell_scores = q @ _normalize(C).T  # (nq, ncentroids)
+    for qi in range(len(q)):
+        top = np.argsort(-cell_scores[qi])[:nprobe]
+        probe_cells.update(int(c) for c in top)
+
+    probed = ds_cells.filter(
+        expr=f"ivf_cell in {sorted(probe_cells)}")
+    return brute_force_topk(probed, query_matrix, k=k, vec_col=vec_col,
+                            id_col=id_col)

@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are vectorized/batched `map_batches` transforms over a generic documents
+table (doc_id, text, ...). Regexes compile at module import (once per worker
+process), not per batch.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+# a BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs
+_BPE_RE = re.compile(r"\w+|[^\w\s]+")
+
+# tiny n-gram language profiles (top character trigrams per language) — the
+# classic heuristic; deterministic, dependency-free
+_LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "de": ("en ", "er ", " de", "der", "ie ", "ch ", "sch", "ein", " un", "und"),
+    "fr": (" de", "es ", "de ", " le", "le ", "ent", "nt ", "que", " qu", "la "),
+    "es": (" de", "de ", "os ", " la", "la ", "as ", "el ", " el", "que", " qu"),
+    "it": (" di", "di ", " co", "to ", "la ", " la", "re ", "one", "che", " ch"),
+}
+_LANG_SETS = {lang: set(grams) for lang, grams in _LANG_PROFILES.items()}
+
+
+def detect_language(text: str) -> str:
+    """Character-trigram overlap against per-language profiles; 'und' when no
+    profile matches."""
+    t = f" {text.lower()} "
+    grams = {t[i:i + 3] for i in range(len(t) - 2)}
+    best, best_score = "und", 0
+    for lang, prof in _LANG_SETS.items():
+        score = len(grams & prof)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    return batch.append_column(
+        "detected_lang", pa.array([detect_language(t or "") for t in texts],
+                                  type=pa.string()))
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + BPE-ish piece count, vectorized where possible."""
+    texts = batch.column(text_col)
+    ws_tokens = pc.count_substring_regex(texts, pattern=r"\S+")
+    bpe_counts = pa.array(
+        [len(_BPE_RE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64())
+    out = batch.append_column("ws_token_count", pc.cast(ws_tokens, pa.int64()))
+    return out.append_column("bpe_token_count", bpe_counts)
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features + score: length, punctuation ratio, stopword
+    ratio, mean word length."""
+    stopwords = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+                 "that", "for", "on", "as", "with"}
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    lengths = np.empty(n, dtype=np.int64)
+    punct_ratio = np.empty(n, dtype=np.float64)
+    stop_ratio = np.empty(n, dtype=np.float64)
+    mean_word_len = np.empty(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        lengths[i] = len(t)
+        punct = len(_PUNCT_RE.findall(t))
+        punct_ratio[i] = punct / len(t) if t else 0.0
+        words = t.lower().split()
+        stop_ratio[i] = (sum(w in stopwords for w in words) / len(words)) if words else 0.0
+        mean_word_len[i] = float(np.mean([len(w) for w in words])) if words else 0.0
+    score = (
+        np.clip(lengths / 1000.0, 0, 1) * 0.4
+        + (1.0 - np.clip(punct_ratio * 5, 0, 1)) * 0.2
+        + np.clip(stop_ratio * 4, 0, 1) * 0.2
+        + np.clip(mean_word_len / 8.0, 0, 1) * 0.2
+    )
+    out = batch.append_column("char_count", pa.array(lengths, type=pa.int64()))
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, type=pa.float64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_ratio, type=pa.float64()))
+    out = out.append_column("mean_word_len", pa.array(mean_word_len, type=pa.float64()))
+    return out.append_column("quality_score", pa.array(score, type=pa.float64()))
+
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Karp-Rabin document fingerprint: min rolling hash over char windows —
+    stable content identity robust to document concatenation order."""
+    t = text or ""
+    if len(t) < window:
+        h = 0
+        for ch in t:
+            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        return h
+    pow_w = pow(_FP_BASE, window - 1, _FP_MOD)
+    h = 0
+    for ch in t[:window]:
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+    best = h
+    for i in range(window, len(t)):
+        h = ((h - ord(t[i - window]) * pow_w) * _FP_BASE + ord(t[i])) % _FP_MOD
+        if h < best:
+            best = h
+    return best
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    return batch.append_column(
+        "fingerprint",
+        pa.array([rolling_fingerprint(t, window) for t in texts], type=pa.int64()))
+
+
+# ---- Dataset-level wrappers ----
+
+def analyze_text(ds, text_col: str = "text", ops=("language", "tokens", "quality", "fingerprint")):
+    """Chain the selected text ops as vectorized map_batches stages."""
+    if "language" in ops:
+        ds = ds.map_batches(lambda b: language_id(b, text_col), batch_format="pyarrow")
+    if "tokens" in ops:
+        ds = ds.map_batches(lambda b: token_counts(b, text_col), batch_format="pyarrow")
+    if "quality" in ops:
+        ds = ds.map_batches(lambda b: quality_score(b, text_col), batch_format="pyarrow")
+    if "fingerprint" in ops:
+        ds = ds.map_batches(lambda b: fingerprint(b, text_col), batch_format="pyarrow")
+    return ds
