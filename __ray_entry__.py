@@ -53,9 +53,13 @@ def _corpus_path(sf_dir: str) -> str:
 
 
 def _docs_ds(sf_dir: str):
+    import ray
+
     from wikidata_edit_history_ray.sources.io import read_documents
 
-    return read_documents(_corpus_path(sf_dir))
+    # split the single corpus file into enough blocks to feed every core
+    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    return read_documents(_corpus_path(sf_dir), override_num_blocks=nblocks)
 
 
 def _kg_table(sf_dir: str, table: str):
@@ -63,7 +67,7 @@ def _kg_table(sf_dir: str, table: str):
     from wikidata_edit_history_ray.sources.corpus import AO_TYPES, SA_TYPES
 
     return extract_table(_docs_ds(sf_dir), table, sa_types=set(SA_TYPES),
-                         ao_types=set(AO_TYPES), concurrency=4)
+                         ao_types=set(AO_TYPES))
 
 
 def entry() -> Any:

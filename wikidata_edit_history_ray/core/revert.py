@@ -97,20 +97,45 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list, time_threshold:
         reversion_keys = set()
         reverted_keys = set()
 
+        # ---- precompute per-change match fields once (the O(n^2) pair scan
+        # with per-pair timestamp parsing is the reference's hot-doc
+        # bottleneck; identical semantics, linearized bookkeeping) ----
+        n = len(pv_changes)
+        olds, news, epochs = [], [], []
+        for c in pv_changes:
+            olds.append(str(c.get("old_value", "")).strip()
+                        if c.get("old_value", "") != "{}" else "")
+            news.append(str(c.get("new_value", "")).strip()
+                        if c.get("new_value", "") != "{}" else "")
+            epochs.append(_parse_timestamp(c["timestamp"]).timestamp())
+        # candidate futures for current i must satisfy news[j] == olds[i]
+        # (direct / trailing) or news[j] == '' with olds[j] == news[i]
+        # (create case) — anything else can never pass check_revert, so a
+        # posting list over new_value preserves the original scan exactly
+        by_new: dict = {}
+        for j in range(n):
+            by_new.setdefault(news[j], []).append(j)
+
         for i, current in enumerate(pv_changes):
             curr_key = (current["revision_id"], property_id, value_id, current["change_target"])
             if curr_key in reverted_keys:
                 continue
-            next_changes = pv_changes[i + 1:]
-            for j, future in enumerate(next_changes):
+            if (current["change_target"] == "rank"
+                    and current["action"] in ("DELETE", "CREATE")):
+                # rank CREATE/DELETE rows mirror the value row instead of
+                # matching directly
+                continue
+            cands = []
+            if olds[i] != "":
+                cands.extend(jj for jj in by_new.get(olds[i], ()) if jj > i)
+            else:
+                # create case: old == '' -> candidate futures with new == ''
+                cands.extend(jj for jj in by_new.get("", ()) if jj > i)
+            for j in sorted(set(cands)):
+                future = pv_changes[j]
                 future_key = (future["revision_id"], property_id, value_id, future["change_target"])
-                if (future_key in reversion_keys
-                        or change_target != future["change_target"]
-                        or (current["change_target"] == "rank"
-                            and current["action"] in ("DELETE", "CREATE"))):
-                    # already used as a reversion, or rank CREATE/DELETE rows
-                    # mirror the value row instead of matching directly
-                    continue
+                if future_key in reversion_keys:
+                    continue  # already used as a reversion
 
                 curr_action = current["action"]
                 next_action = future["action"]
@@ -122,7 +147,21 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list, time_threshold:
                     or (curr_action == "UPDATE" and next_action == "CREATE"
                         and ("restore" in comment or "rollback" in comment))
                 )
-                if not valid_pair or not check_revert(current, future, time_threshold):
+                if not valid_pair:
+                    continue
+                diff_seconds = epochs[j] - epochs[i]
+                direct = (olds[i] == news[j] and news[i] == olds[j]
+                          and olds[i] != "" and news[j] != ""
+                          and diff_seconds <= time_threshold)
+                lc = comment.lower()
+                trailing = (olds[i] == news[j] and olds[i] != "" and news[j] != ""
+                            and news[i] != olds[j]
+                            and ("restore" in lc or "rollback" in lc)
+                            and diff_seconds <= time_threshold)
+                create_case = (olds[i] == "" and news[j] == ""
+                               and news[i] == olds[j]
+                               and diff_seconds <= time_threshold)
+                if not (direct or trailing or create_case):
                     continue
 
                 # mark current as reverted (mirroring onto its rank row for
@@ -156,7 +195,7 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list, time_threshold:
                 # intermediate changes as reverted too
                 if (("restore" in comment or "rollback" in comment)
                         and curr_action == "UPDATE" and next_action == "CREATE"):
-                    for inter in next_changes[:j]:
+                    for inter in pv_changes[i + 1:j]:
                         inter_key = (inter["revision_id"], property_id, value_id, inter["change_target"])
                         reverted_keys.add(inter_key)
                         if inter_key not in revert_flags:

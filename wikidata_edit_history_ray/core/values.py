@@ -190,12 +190,24 @@ def safe_get_nested(d, *keys, default=None):
     return current
 
 
+def _parse_ts_fast(ts: str):
+    """Fast path for the canonical 'YYYY-MM-DDTHH:MM:SSZ' shape; dateutil
+    fallback for anything else."""
+    from datetime import datetime
+
+    try:
+        return datetime(int(ts[0:4]), int(ts[5:7]), int(ts[8:10]),
+                        int(ts[11:13]), int(ts[14:16]), int(ts[17:19]))
+    except (ValueError, IndexError):
+        from dateutil import parser as _dtparser
+
+        return _dtparser.parse(ts)
+
+
 def get_time_feature(timestamp: str, option: str) -> str:
     """Denormalized time buckets: 'year', 'year_month' (%Y-%m) and 'week'
     (%Y-W%V — calendar year with ISO week number, boundary quirk preserved)."""
-    from dateutil import parser as _dtparser
-
-    dt = _dtparser.parse(timestamp) if isinstance(timestamp, str) else timestamp
+    dt = _parse_ts_fast(timestamp) if isinstance(timestamp, str) else timestamp
     if option == "year":
         return str(dt.year)
     if option == "year_month":

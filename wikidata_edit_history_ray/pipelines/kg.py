@@ -37,8 +37,15 @@ def extract_table(ds, table: str = "value_change", config: DiffConfig | None = N
     The extractor is a callable class => actor pool; per-actor setup happens
     once. batch_size is small because each row is a whole document (many spans).
     """
+    import ray
+
     pl_ref, sa_ref, ao_ref = _broadcast_aux(property_labels, sa_types, ao_types)
     cfg = (config or DiffConfig()).to_dict()
+    if concurrency is None:
+        # autoscaling actor pool sized to the cluster: extraction is the
+        # CPU-dominant stage, so it may use (almost) every core
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu))
     return ds.map_batches(
         ChangeExtractor,
         fn_constructor_kwargs=dict(
