@@ -43,7 +43,7 @@ def _corpus_path(sf_dir: str) -> str:
 
     n = _corpus_docs_for(sf_dir)
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"docs_{n}.parquet")
+    path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         write_corpus_parquet(tmp, n, seed=42, hot_doc_revisions=1000,

@@ -57,6 +57,9 @@ def _corpus_doc_count(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     path = entrymod._corpus_path(sf_dir)
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
     return pq.read_metadata(path).num_rows
 
 

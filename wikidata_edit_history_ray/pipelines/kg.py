@@ -91,15 +91,51 @@ def run_extraction(input_path: str, output_dir: str,
     return mat
 
 
+def run_enrichment(output_dir: str, closure_dir: str | None = None,
+                   entity_labels=None, concurrency=None):
+    """Second pass (the compute_remaining_features analog,
+    scripts/compute_remaining_features.py + feature_creation.py:1207-1466):
+    stream the features_entity / features_text parquet written by
+    run_extraction through the enrichment actor pools and write the enriched
+    tables back next to the originals. Resumable at the directory level: if
+    the enriched dir already has files, the pass skips."""
+    import ray.data
+
+    from ..stages.enrich import enrich_entity_features, enrich_text_features
+
+    results = {}
+    fe_dir = os.path.join(output_dir, "features_entity")
+    if os.path.isdir(fe_dir):
+        out_dir = os.path.join(output_dir, "features_entity_enriched")
+        if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+            ds = ray.data.read_parquet(fe_dir)
+            enrich_entity_features(ds, closure_dir=closure_dir,
+                                   entity_labels=entity_labels,
+                                   concurrency=concurrency).write_parquet(out_dir)
+        results["features_entity_enriched"] = out_dir
+    ft_dir = os.path.join(output_dir, "features_text")
+    if os.path.isdir(ft_dir):
+        out_dir = os.path.join(output_dir, "features_text_enriched")
+        if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+            ds = ray.data.read_parquet(ft_dir)
+            enrich_text_features(ds, concurrency=concurrency).write_parquet(out_dir)
+        results["features_text_enriched"] = out_dir
+    return results
+
+
 def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
     """Exact keep-first dedup on a composite PK — the ON CONFLICT DO NOTHING
     analog (scripts/utils.py:205-212), needed only across partition boundaries
     or after a partial re-run.
 
-    For skewed keys pass salt_buckets > 0: rows are pre-grouped on
-    (hash(pk) % salt) inside map_batches (partial dedup), then globally.
-    Within one run partitions are disjoint in doc_id, so the global groupby
-    only pays for the duplicate keys that actually exist.
+    Skew handling (hot entities, north rule): with salt_buckets > 0 the
+    groupby key becomes (salt, *pk) where salt = hash(full PK) % buckets.
+    Because the salt is a pure function of the full PK, every duplicate of a
+    key lands in the same salted group (correctness preserved), while a hot
+    entity's millions of rows — which share entity/doc prefix but differ in
+    the remaining PK components — spread across `salt_buckets` reducers
+    instead of hammering one. A local per-block dedup runs first so the
+    shuffle moves each block's distinct keys only.
     """
     import pyarrow as pa
 
@@ -107,11 +143,25 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
         # partial dedup inside each block before any shuffle
         df = batch.to_pandas()
         df = df.drop_duplicates(subset=pk_cols, keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        if salt_buckets:
+            import numpy as np
+            import pandas as pd
+
+            key = df[pk_cols].astype(str).agg("|".join, axis=1) if len(df) else \
+                pd.Series([], dtype=str)
+            salts = np.fromiter(
+                (int.from_bytes(__import__("hashlib").sha1(k.encode()).digest()[:4],
+                                "little") % salt_buckets for k in key),
+                dtype=np.int64, count=len(df))
+            out = out.append_column("_salt", pa.array(salts, type=pa.int64()))
+        return out
 
     ds = ds.map_batches(drop_local_dupes, batch_format="pyarrow")
 
     def first_of_group(group):
-        return group.head(1)
+        g = group.head(1)
+        return g.drop(columns=["_salt"], errors="ignore")
 
-    return ds.groupby(pk_cols).map_groups(first_of_group, batch_format="pandas")
+    keys = (["_salt"] + list(pk_cols)) if salt_buckets else list(pk_cols)
+    return ds.groupby(keys).map_groups(first_of_group, batch_format="pandas")

@@ -520,10 +520,30 @@ def make_corpus(num_docs: int, seed: int = 42, hot_doc_revisions: int = 0,
     return table, expectations
 
 
-def write_corpus_parquet(path: str, num_docs: int, seed: int = 42, **kw) -> str:
-    """Materialize a corpus to a parquet file; returns the path."""
+def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
+                         n_shards: int | None = None, **kw) -> str:
+    """Materialize a corpus to parquet; returns the path.
+
+    With n_shards (or when num_docs is large) writes a DIRECTORY of shard
+    files with small row groups — the physical shape a web-scale corpus has,
+    and what lets Ray parallelize the read (one 25MB single-row-group file
+    yields ~1 input block no matter how many cores you have)."""
+    import os
+
     import pyarrow.parquet as pq
 
     table, _ = make_corpus(num_docs, seed=seed, **kw)
-    pq.write_table(table, path)
+    if n_shards is None:
+        n_shards = max(1, num_docs // 500)
+    if n_shards <= 1:
+        pq.write_table(table, path, row_group_size=200)
+        return path
+    os.makedirs(path, exist_ok=True)
+    per = (table.num_rows + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        shard = table.slice(s * per, per)
+        if shard.num_rows == 0:
+            break
+        pq.write_table(shard, os.path.join(path, f"shard-{s:05d}.parquet"),
+                       row_group_size=100)
     return path

@@ -162,9 +162,13 @@ class EntityFeatureEnricher:
 
 def enrich_entity_features(ds, closure_dir=None, entity_labels=None,
                            concurrency=None, batch_size: int = 4096):
-    """features_entity Dataset -> enriched Dataset (actor pool)."""
+    """features_entity Dataset -> enriched Dataset (actor pool: the closure
+    index + label dict load once per actor)."""
     import ray
 
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu // 2))
     labels_ref = ray.put(entity_labels or {})
     return ds.map_batches(
         EntityFeatureEnricher,
