@@ -36,12 +36,13 @@ def _corpus_docs_for(sf_dir: str) -> int:
     return max(100, int(200_000 * scale))
 
 
-def _corpus_path(sf_dir: str) -> str:
+def _corpus_path(sf_dir: str, n: int | None = None) -> str:
     """Generate (once) and cache the synthetic interleaved-doc corpus for a
     scale tier."""
     from wikidata_edit_history_ray.sources.corpus import write_corpus_parquet
 
-    n = _corpus_docs_for(sf_dir)
+    if n is None:
+        n = _corpus_docs_for(sf_dir)
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded")
     if not os.path.exists(path):
@@ -57,8 +58,9 @@ def _docs_ds(sf_dir: str):
 
     from wikidata_edit_history_ray.sources.io import read_documents
 
-    # split the single corpus file into enough blocks to feed every core
-    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    # ~2 blocks per core: enough waves to balance hot-doc skew without
+    # paying per-task dispatch overhead for hundreds of tiny tasks
+    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
     return read_documents(_corpus_path(sf_dir), override_num_blocks=nblocks)
 
 

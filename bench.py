@@ -96,12 +96,50 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
     return out
 
 
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "80000"))
+
+
 def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
-    """Run ONLY the KG extraction in this (fresh) process and print a JSON line."""
-    out = run_bench(sf_dir, num_cpus, queries=["kg_value_change"])
-    print("SCALING_RESULT " + json.dumps(out), flush=True)
+    """Run the KG extraction on the scaling corpus in this (fresh) process and
+    print a JSON line.
+
+    - The scaling corpus is 4x the tier's default so per-run fixed costs
+      (read setup, scheduling, hot-doc stragglers) amortize; both cluster
+      sizes see the IDENTICAL input.
+    - The pipeline runs twice; the SECOND run is reported (steady-state
+      throughput — the first run pays one-time worker imports, which on a
+      long-lived cluster amortize to zero)."""
     import ray
 
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    from wikidata_edit_history_ray.pipelines.kg import extract_table
+    from wikidata_edit_history_ray.sources.corpus import AO_TYPES, SA_TYPES
+    from wikidata_edit_history_ray.sources.io import read_documents
+
+    path = entrymod._corpus_path(sf_dir, n=SCALING_DOCS)
+    nblocks = num_cpus * 2  # ~2 waves: balances skew without tiny-task overhead
+
+    def one_run():
+        ds = read_documents(path, override_num_blocks=nblocks)
+        t0 = time.time()
+        extract_table(ds, "value_change", sa_types=set(SA_TYPES),
+                      ao_types=set(AO_TYPES)).count()
+        return time.time() - t0
+
+    one_run()  # warm-up
+    dt = one_run()
+    out = {
+        "metric": "kg extraction", "value": round(dt, 3), "unit": "sec",
+        "queries": {"kg_value_change": round(dt, 3)},
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus, "kg_docs": SCALING_DOCS,
+        "docs_per_sec": round(SCALING_DOCS / dt, 1),
+    }
+    print("SCALING_RESULT " + json.dumps(out), flush=True)
     ray.shutdown()
     return out
 

@@ -31,31 +31,29 @@ def _broadcast_aux(property_labels, sa_types, ao_types):
 
 def extract_table(ds, table: str = "value_change", config: DiffConfig | None = None,
                   property_labels=None, sa_types=None, ao_types=None,
-                  concurrency=None, batch_size: int = 32):
+                  concurrency=None, batch_size=None):
     """documents Dataset -> Dataset of one logical change table.
 
-    The extractor is a callable class => actor pool; per-actor setup happens
-    once. batch_size is small because each row is a whole document (many spans).
+    batch_size=None processes one input block per task call — block count
+    (OVERRIDE at read time to ~2x the core count) is the parallelism knob;
+    per-batch slicing only adds overhead here because rows are whole documents.
     """
-    import ray
-
     pl_ref, sa_ref, ao_ref = _broadcast_aux(property_labels, sa_types, ao_types)
     cfg = (config or DiffConfig()).to_dict()
-    if concurrency is None:
-        # autoscaling actor pool sized to the cluster: extraction is the
-        # CPU-dominant stage, so it may use (almost) every core
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu))
+    kwargs = dict(config=cfg, property_labels=pl_ref, sa_types=sa_ref,
+                  ao_types=ao_ref, emit=table)
+    if concurrency is not None:
+        # explicit actor pool (useful when aux state is heavy)
+        return ds.map_batches(
+            ChangeExtractor, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, concurrency=concurrency)
+    # default: task-based dispatch — an instance pickles into each task, the
+    # broadcast refs resolve once per worker process, and tasks land on Ray's
+    # prestarted workers immediately (no actor-pool ramp-up latency)
     return ds.map_batches(
-        ChangeExtractor,
-        fn_constructor_kwargs=dict(
-            config=cfg, property_labels=pl_ref, sa_types=sa_ref,
-            ao_types=ao_ref, emit=table),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+        ChangeExtractor(**kwargs), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True)
 
 
 def run_extraction(input_path: str, output_dir: str,
@@ -74,16 +72,17 @@ def run_extraction(input_path: str, output_dir: str,
     ds = documents_ds if documents_ds is not None else read_documents(input_path)
     pl_ref, sa_ref, ao_ref = _broadcast_aux(property_labels, sa_types, ao_types)
     cfg = (config or DiffConfig()).to_dict()
-    manifest = ds.map_batches(
-        MultiSinkExtractor,
-        fn_constructor_kwargs=dict(
-            output_dir=output_dir, config=cfg, property_labels=pl_ref,
-            sa_types=sa_ref, ao_types=ao_ref),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    kwargs = dict(output_dir=output_dir, config=cfg, property_labels=pl_ref,
+                  sa_types=sa_ref, ao_types=ao_ref)
+    if concurrency is not None:
+        manifest = ds.map_batches(
+            MultiSinkExtractor, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, concurrency=concurrency)
+    else:
+        manifest = ds.map_batches(
+            MultiSinkExtractor(**kwargs), batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True)
     mat = manifest.materialize()
     # persist the run-level manifest next to the outputs (throughput accounting,
     # the analog of the reference's per-file metrics CSV, scripts/file_parser.py:393-417)

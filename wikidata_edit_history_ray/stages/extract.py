@@ -27,13 +27,23 @@ from .schemas import ERRORS_SCHEMA, ROUTING_COLS, TABLE_SCHEMAS
 _ROUTING_NAMES = [name for name, _ in ROUTING_COLS]
 
 
+_BROADCAST_CACHE: dict = {}
+
+
 def _maybe_get(obj):
-    """Dereference a ray.put broadcast handle if one was passed."""
+    """Dereference a ray.put broadcast handle if one was passed; cached per
+    worker process so task-based stages deserialize each broadcast object once
+    per worker, not once per task."""
     try:
         import ray
 
         if isinstance(obj, ray.ObjectRef):
-            return ray.get(obj)
+            key = obj.hex()
+            if key not in _BROADCAST_CACHE:
+                if len(_BROADCAST_CACHE) > 64:
+                    _BROADCAST_CACHE.clear()
+                _BROADCAST_CACHE[key] = ray.get(obj)
+            return _BROADCAST_CACHE[key]
     except ImportError:
         pass
     return obj
@@ -80,17 +90,28 @@ class ChangeExtractor:
 
     def __init__(self, config: dict | None = None, property_labels=None,
                  sa_types=None, ao_types=None, emit: str = "value_change"):
-        cfg = DiffConfig.from_dict(config or {})
-        self.differ = PageDiffer(
-            cfg,
-            property_labels=_maybe_get(property_labels) or {},
-            scholarly_article_types=set(_maybe_get(sa_types) or ()),
-            astronomical_object_types=set(_maybe_get(ao_types) or ()),
-        )
+        # broadcast handles resolve lazily (in the worker, once per process):
+        # the same class works as an actor-pool callable AND as a pickled
+        # instance dispatched task-by-task to Ray's prestarted workers
+        self._config = config or {}
+        self._property_labels = property_labels
+        self._sa_types = sa_types
+        self._ao_types = ao_types
+        self.differ = None
         self.emit = emit
+
+    def _ensure_differ(self):
+        if self.differ is None:
+            self.differ = PageDiffer(
+                DiffConfig.from_dict(self._config),
+                property_labels=_maybe_get(self._property_labels) or {},
+                scholarly_article_types=set(_maybe_get(self._sa_types) or ()),
+                astronomical_object_types=set(_maybe_get(self._ao_types) or ()),
+            )
 
     def extract_batch(self, batch: pa.Table, file_path: str = ""):
         """Diff every doc in the batch; returns ({table: pa.Table}, errors)."""
+        self._ensure_differ()
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         buf = {t: [] for t in TABLE_COLS}
