@@ -44,7 +44,7 @@ def _corpus_path(sf_dir: str, n: int | None = None) -> str:
     if n is None:
         n = _corpus_docs_for(sf_dir)
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded")
+    path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded_v2")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         write_corpus_parquet(tmp, n, seed=42, hot_doc_revisions=1000,

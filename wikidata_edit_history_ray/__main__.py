@@ -1,0 +1,101 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    # full change-history extraction (all tables, resumable):
+    ray job submit -- python -m wikidata_edit_history_ray extract \
+        --input /data/docs --output /data/kg_out [--aux-dir AUX]
+
+    # second-pass enrichment (closures + labels + embedding cosines):
+    python -m wikidata_edit_history_ray enrich --output /data/kg_out \
+        [--closure-dir DIR]
+
+    # generate a deterministic synthetic corpus:
+    python -m wikidata_edit_history_ray gen-corpus --path /tmp/docs --docs 10000
+
+Standalone runs own their Ray session (guarded init); when the driver/harness
+has already initialised Ray, the existing session is reused.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+    return ray
+
+
+def cmd_extract(args):
+    ray = _ensure_ray()
+    from .pipelines.kg import run_extraction
+    from .sources.io import load_aux_tables
+
+    property_labels, sa_types, ao_types = ({}, set(), set())
+    if args.aux_dir:
+        property_labels, sa_types, ao_types = load_aux_tables(args.aux_dir)
+    manifest = run_extraction(
+        args.input, args.output, property_labels=property_labels,
+        sa_types=sa_types, ao_types=ao_types, batch_size=args.batch_size)
+    rows = manifest.take_all()
+    resumed = sum(1 for r in rows if r["resumed"])
+    print(json.dumps({
+        "partitions": len(rows), "resumed": resumed,
+        "docs": sum(r["num_docs"] for r in rows),
+        "extract_seconds": round(sum(r["extract_seconds"] for r in rows), 2),
+    }))
+    ray.shutdown()
+
+
+def cmd_enrich(args):
+    ray = _ensure_ray()
+    from .pipelines.kg import run_enrichment
+
+    res = run_enrichment(args.output, closure_dir=args.closure_dir)
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+def cmd_gen_corpus(args):
+    from .sources.corpus import write_corpus_parquet
+
+    path = write_corpus_parquet(
+        args.path, args.docs, seed=args.seed,
+        hot_doc_revisions=args.hot_revisions,
+        hot_doc_every=args.hot_every or 0)
+    print(json.dumps({"path": path, "docs": args.docs}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="wikidata_edit_history_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("extract", help="run the KG change-history extraction")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--aux-dir", default=None)
+    e.add_argument("--batch-size", type=int, default=32)
+    e.set_defaults(fn=cmd_extract)
+
+    n = sub.add_parser("enrich", help="second-pass feature enrichment")
+    n.add_argument("--output", required=True)
+    n.add_argument("--closure-dir", default=None)
+    n.set_defaults(fn=cmd_enrich)
+
+    g = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
+    g.add_argument("--path", required=True)
+    g.add_argument("--docs", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-revisions", type=int, default=0)
+    g.add_argument("--hot-every", type=int, default=0)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -534,7 +534,11 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
 
     table, _ = make_corpus(num_docs, seed=seed, **kw)
     if n_shards is None:
-        n_shards = max(1, num_docs // 500)
+        # power-of-two shard counts divide typical block counts (2x cores)
+        # evenly, so no task gets 1.5x the files of another
+        n_shards = 1
+        while n_shards < 512 and num_docs // (n_shards * 2) >= 300:
+            n_shards *= 2
     if n_shards <= 1:
         pq.write_table(table, path, row_group_size=200)
         return path
