@@ -1,0 +1,129 @@
+"""Conformance for the datatype-metadata differ (D11) with the extraction gate
+ON: unit/calendarmodel Q-id trimming, key-by-key same-datatype diff,
+cross-datatype positional pairing, and monolingualtext 'language' routing —
+all compared against the reference's own PageParser."""
+import copy
+import os
+import random
+
+import pytest
+
+from wikidata_edit_history_ray.core.constants import (
+    DATATYPE_METADATA_CHANGE_COLS,
+    VALUE_CHANGE_COLS,
+)
+from wikidata_edit_history_ray.core.differ import DiffConfig, PageDiffer
+from wikidata_edit_history_ray.sources.corpus import EntitySim
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/scripts"),
+    reason="reference repo not available")
+
+
+def _norm(v):
+    return "" if v is None or v == "" else str(v)
+
+
+def _rows(rows, cols, keep):
+    idx = [cols.index(c) for c in keep]
+    return {tuple(_norm(r[i]) for i in idx) for r in rows}
+
+
+def run_both(sim):
+    from reference_shim import REFERENCE_SET_UP, run_reference_page_parser
+
+    mine = PageDiffer(DiffConfig(extract_datatype_metadata=True)).process_doc(
+        sim.qid, sim.spans)
+    set_up = copy.deepcopy(REFERENCE_SET_UP)
+    for f in set_up["change_extraction_filters"].values():
+        f["datatype_metadata_extraction"] = True
+    import reference_shim
+
+    old = reference_shim.REFERENCE_SET_UP
+    reference_shim.REFERENCE_SET_UP = set_up
+    try:
+        theirs = run_reference_page_parser(sim.qid, sim.spans,
+                                           workdir="/tmp/widiff_ref_conformance")
+    finally:
+        reference_shim.REFERENCE_SET_UP = old
+    return mine, theirs
+
+
+MD_KEEP = ["revision_id", "property_id", "value_id", "change_target", "action",
+           "old_value", "new_value", "old_datatype", "new_datatype"]
+VC_KEEP = ["revision_id", "property_id", "value_id", "change_target", "action",
+           "old_value", "new_value"]
+
+
+def assert_match(mine, theirs):
+    assert _rows(mine["datatype_metadata_change"], DATATYPE_METADATA_CHANGE_COLS, MD_KEEP) \
+        == _rows(theirs["datatype_metadata_change"], DATATYPE_METADATA_CHANGE_COLS, MD_KEEP)
+    assert _rows(mine["value_change"], VALUE_CHANGE_COLS, VC_KEEP) \
+        == _rows(theirs["value_change"], VALUE_CHANGE_COLS, VC_KEEP)
+
+
+def sim_for(qid="Q501", seed=11):
+    sim = EntitySim(qid, random.Random(seed), rev_base=5000)
+    sim.op_create_entity(type_qids=["Q3000"], n_statements=0)
+    return sim
+
+
+class TestMetadataConformance:
+    def test_unit_change_qid_trim(self):
+        sim = sim_for()
+        _, pid, stmt = sim.op_add_statement(kind="quantity")
+        stmt["mainsnak"]["datavalue"]["value"]["unit"] = \
+            "http://www.wikidata.org/entity/Q999"
+        sim.snapshot_revision()
+        assert_match(*run_both(sim))
+
+    def test_precision_change_time(self):
+        sim = sim_for("Q502")
+        _, pid, stmt = sim.op_add_statement(kind="time")
+        stmt["mainsnak"]["datavalue"]["value"]["precision"] = 9
+        sim.snapshot_revision()
+        assert_match(*run_both(sim))
+
+    def test_cross_datatype_update_positional_pairing(self):
+        sim = sim_for("Q503")
+        _, pid, stmt = sim.op_add_statement(kind="time")
+        # time (precision, calendarmodel) -> quantity (unit): different key sets
+        stmt["mainsnak"]["datavalue"] = sim.rand_quantity_value()
+        stmt["mainsnak"]["hash"] = "newh"
+        sim.snapshot_revision()
+        assert_match(*run_both(sim))
+
+    def test_cross_datatype_to_monolingual_language_routing(self):
+        sim = sim_for("Q504")
+        _, pid, stmt = sim.op_add_statement(kind="quantity")
+        stmt["mainsnak"]["datavalue"] = sim.rand_monolingual_value()
+        stmt["mainsnak"]["hash"] = "newh2"
+        sim.snapshot_revision()
+        assert_match(*run_both(sim))
+
+    def test_mono_statement_create_delete_language_rows(self):
+        sim = sim_for("Q505")
+        r, pid, stmt = sim.op_add_statement(kind="mono")
+        sim.op_delete_statement(pid=pid, stmt=stmt)
+        assert_match(*run_both(sim))
+
+    def test_globe_metadata_and_novalue_statements(self):
+        sim = sim_for("Q506")
+        _, pid, stmt = sim.op_add_statement(kind="globe")
+        stmt["mainsnak"]["datavalue"]["value"]["precision"] = 0.01
+        sim.snapshot_revision()
+        # novalue statement create + delete
+        nstmt = sim.make_statement("P777", None, snaktype="novalue")
+        sim.claims.setdefault("P777", []).append(nstmt)
+        sim.snapshot_revision()
+        sim.claims.pop("P777")
+        sim.snapshot_revision()
+        assert_match(*run_both(sim))
+
+    def test_random_docs_with_metadata_gate(self):
+        from wikidata_edit_history_ray.sources.corpus import build_doc
+
+        rng = random.Random(321)
+        for i in range(25):
+            sim = build_doc(f"Q{600 + i}", rng)
+            assert_match(*run_both(sim))
