@@ -85,13 +85,38 @@ class TestMetadataConformance:
         assert_match(*run_both(sim))
 
     def test_cross_datatype_update_positional_pairing(self):
+        """Cross-datatype pairing is ORDER-SENSITIVE and the reference iterates
+        Python sets (hash-salted per process, nondeterministic across runs) —
+        this engine pins insertion order instead (documented divergence,
+        core/differ.py module docstring). Compare the pairing-order-insensitive
+        projection: per-key rows and the multiset of values involved."""
         sim = sim_for("Q503")
         _, pid, stmt = sim.op_add_statement(kind="time")
         # time (precision, calendarmodel) -> quantity (unit): different key sets
         stmt["mainsnak"]["datavalue"] = sim.rand_quantity_value()
         stmt["mainsnak"]["hash"] = "newh"
         sim.snapshot_revision()
-        assert_match(*run_both(sim))
+        mine, theirs = run_both(sim)
+        # which big-set key pairs with the small-set key (and which is the
+        # one-sided leftover) depends on the reference's set order, so even the
+        # emitted change_target set varies run to run; the stable projection is
+        # row count + per-row (key-agnostic) identity + the value multiset
+        keep = ["revision_id", "property_id", "value_id", "action",
+                "old_datatype", "new_datatype"]
+        m_rows = mine["datatype_metadata_change"]
+        t_rows = theirs["datatype_metadata_change"]
+        assert len(m_rows) == len(t_rows)
+        assert sorted(_rows(m_rows, DATATYPE_METADATA_CHANGE_COLS, keep)) \
+            == sorted(_rows(t_rows, DATATYPE_METADATA_CHANGE_COLS, keep))
+
+        def multiset(rows, col):
+            i = DATATYPE_METADATA_CHANGE_COLS.index(col)
+            return sorted(_norm(r[i]) for r in rows)
+
+        # note change_target itself is excluded: the leftover big-set key that
+        # gets a one-sided row is order-dependent in the reference
+        for col in ("old_value", "new_value"):
+            assert multiset(m_rows, col) == multiset(t_rows, col), col
 
     def test_cross_datatype_to_monolingual_language_routing(self):
         sim = sim_for("Q504")
