@@ -75,8 +75,8 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
     qmap = entrymod.queries()
     names = queries or HEADLINE_QUERIES
     timings = {}
-    t_all = time.time()
     n_docs = _corpus_doc_count(sf_dir)  # pre-generate corpus outside timing
+    t_all = time.time()
     for name in names:
         t0 = time.time()
         _consume(qmap[name](sf_dir))
