@@ -165,6 +165,13 @@ class PageDiffer:
             "num_bot_edits": 0, "num_anonymous_edits": 0, "num_human_edits": 0,
         }
 
+    def _snak_hash(self, hom_snak):
+        # NOTE: no memoization on the upstream 'hash' field — the canonical
+        # SHA-1 exists precisely because upstream hashes drift out of sync
+        # with the datavalue (SURVEY §1.1 / M4); identity must come from the
+        # value bytes, never the upstream hash.
+        return snak_value_hash(hom_snak)
+
     # ----- stats -----
     def _update_stats(self, change_target, action):
         s = self.stats
@@ -359,7 +366,7 @@ class PageDiffer:
                 m = {}
                 for snak in snaks:
                     snak = homogenize_snak(snak)
-                    h = snak_value_hash(snak)
+                    h = self._snak_hash(snak)
                     snak["hash"] = h
                     m[h] = snak
                 return m
@@ -397,14 +404,14 @@ class PageDiffer:
                 for pid, snaks in ref["snaks"].items():
                     for snak in snaks:
                         snak = homogenize_snak(snak)
-                        ref_snaks.append((pid, snak_value_hash(snak)))
+                        ref_snaks.append((pid, self._snak_hash(snak)))
                 ref_content_hash = hashlib.sha1(
                     json.dumps(sorted(ref_snaks)).encode("utf-8")
                 ).hexdigest()
                 for pid, snaks in ref["snaks"].items():
                     for snak in snaks:
                         snak = homogenize_snak(snak)
-                        h = snak_value_hash(snak)
+                        h = self._snak_hash(snak)
                         snak["hash"] = h
                         m[(ref_content_hash, pid, h)] = snak
             return m
@@ -547,7 +554,7 @@ class PageDiffer:
             for stmt in stmts:
                 stmt["mainsnak"] = homogenize_snak(stmt["mainsnak"])
                 value, datatype, _ = parse_statement_datavalue(stmt)
-                old_hash = snak_value_hash(stmt["mainsnak"]) if stmt else None
+                old_hash = self._snak_hash(stmt["mainsnak"]) if stmt else None
                 value_id = stmt.get("id", None)
                 if property_id == "P31":
                     self.entity_data["p31_types"].discard((value_id, value))
@@ -621,7 +628,7 @@ class PageDiffer:
                     self.entity_data["p31_types"].add((value_id, new_value))
                 if pid == "P279":
                     self.entity_data["p279_types"].add((value_id, new_value))
-                new_hash = snak_value_hash(s["mainsnak"]) if s else None
+                new_hash = self._snak_hash(s["mainsnak"]) if s else None
                 self._save_change(id_to_int(pid), value_id, None, new_value,
                                   None, new_datatype, None, CREATE_PROPERTY_VALUE,
                                   None, new_hash)
@@ -646,7 +653,7 @@ class PageDiffer:
                     self.entity_data["p31_types"].discard((value_id, old_value))
                 if pid == "P279":
                     self.entity_data["p279_types"].discard((value_id, old_value))
-                old_hash = snak_value_hash(s["mainsnak"]) if s else None
+                old_hash = self._snak_hash(s["mainsnak"]) if s else None
                 self._save_change(id_to_int(pid), value_id, old_value, None,
                                   old_datatype, None, None, DELETE_PROPERTY_VALUE,
                                   old_hash, None)
@@ -672,10 +679,10 @@ class PageDiffer:
                 old_hash = new_hash = None
                 if prev_stmt:
                     prev_stmt["mainsnak"] = homogenize_snak(prev_stmt["mainsnak"])
-                    old_hash = snak_value_hash(prev_stmt["mainsnak"])
+                    old_hash = self._snak_hash(prev_stmt["mainsnak"])
                 if curr_stmt:
                     curr_stmt["mainsnak"] = homogenize_snak(curr_stmt["mainsnak"])
-                    new_hash = snak_value_hash(curr_stmt["mainsnak"])
+                    new_hash = self._snak_hash(curr_stmt["mainsnak"])
                 new_value, new_datatype, new_md = parse_statement_datavalue(curr_stmt)
                 old_value, old_datatype, old_md = parse_statement_datavalue(prev_stmt)
 
