@@ -357,6 +357,28 @@ def _q_kg_entity_type_stats(sf_dir: str):
     return entity_type_stats(_kg_table(sf_dir, "entity_stats"))
 
 
+def _q_kg_graph_triples(sf_dir: str):
+    """Materialized current-state KG: replay the change history into
+    (subj, pred, obj) triples."""
+    from wikidata_edit_history_ray.pipelines.kg import materialize_graph
+
+    return materialize_graph(_kg_table(sf_dir, "value_change")) \
+        .select_columns(["subj", "pred", "value_id", "obj", "revision_id"])
+
+
+def _q_kg_canonical_triples(sf_dir: str):
+    """Salted-key canonicalization/dedup groupby over the change table
+    (idempotent on clean input; the ON CONFLICT analog across partitions)."""
+    from wikidata_edit_history_ray.pipelines.kg import dedup_changes
+
+    vc = _kg_table(sf_dir, "value_change")
+    return dedup_changes(
+        vc, ["revision_id", "property_id", "value_id", "change_target"],
+        salt_buckets=16,
+    ).select_columns(["revision_id", "property_id", "value_id", "change_target",
+                      "action", "entity_id"])
+
+
 def _q_kg_features_entity_enriched(sf_dir: str):
     from wikidata_edit_history_ray.stages.enrich import enrich_entity_features
 
@@ -378,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_spans": _q_kg("doc_spans"),
         "kg_features_text": _q_kg("features_text"),
         "kg_features_time": _q_kg("features_time"),
+        "kg_graph_triples": _q_kg_graph_triples,
+        "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_property_stats": _q_kg_property_stats,
         "kg_corpus_stats": _q_kg_corpus_stats,
         "kg_entity_type_stats": _q_kg_entity_type_stats,

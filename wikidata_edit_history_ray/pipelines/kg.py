@@ -122,6 +122,46 @@ def run_enrichment(output_dir: str, closure_dir: str | None = None,
     return results
 
 
+def materialize_graph(value_change_ds, salt_buckets: int = 0):
+    """Materialize the CURRENT knowledge graph from the change history:
+    (subj=entity_id, pred=property_id, obj=value) triples that exist after
+    replaying every change in revision order.
+
+    Shape: block-local replay (keep the max-revision row per statement inside
+    each block) -> one groupby shuffle on the statement key
+    (entity_id, property_id, value_id) -> final per-key replay -> filter
+    DELETEd statements. The shuffle moves one row per statement per block,
+    not the full history. Hot entities spread across reducers because the key
+    includes value_id (statement id); salt_buckets adds hash salting on top
+    for pathological single-statement edit storms.
+    """
+    import pyarrow as pa
+
+    key_cols = ["entity_id", "property_id", "value_id"]
+
+    def local_last(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["change_target"] == ""]
+        if df.empty:
+            return pa.Table.from_pandas(
+                df[key_cols + ["revision_id", "timestamp", "action", "new_value",
+                               "new_datatype", "doc_id"]], preserve_index=False)
+        df = df.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
+        return pa.Table.from_pandas(
+            df[key_cols + ["revision_id", "timestamp", "action", "new_value",
+                           "new_datatype", "doc_id"]], preserve_index=False)
+
+    partial = value_change_ds.map_batches(local_last, batch_format="pyarrow")
+
+    def final_last(group):
+        g = group.sort_values("revision_id").tail(1)
+        g = g[g["action"] != "DELETE"]
+        return g.rename(columns={"entity_id": "subj", "property_id": "pred",
+                                 "new_value": "obj"})
+
+    return partial.groupby(key_cols).map_groups(final_last, batch_format="pandas")
+
+
 def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
     """Exact keep-first dedup on a composite PK — the ON CONFLICT DO NOTHING
     analog (scripts/utils.py:205-212), needed only across partition boundaries
