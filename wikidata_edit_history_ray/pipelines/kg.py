@@ -135,31 +135,43 @@ def materialize_graph(value_change_ds, salt_buckets: int = 0):
     includes value_id (statement id); salt_buckets adds hash salting on top
     for pathological single-statement edit storms.
     """
+    import hashlib
+
+    import numpy as np
     import pyarrow as pa
 
     key_cols = ["entity_id", "property_id", "value_id"]
+    buckets = salt_buckets or 64
 
     def local_last(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["change_target"] == ""]
-        if df.empty:
-            return pa.Table.from_pandas(
-                df[key_cols + ["revision_id", "timestamp", "action", "new_value",
-                               "new_datatype", "doc_id"]], preserve_index=False)
-        df = df.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
-        return pa.Table.from_pandas(
-            df[key_cols + ["revision_id", "timestamp", "action", "new_value",
-                           "new_datatype", "doc_id"]], preserve_index=False)
+        if not df.empty:
+            df = df.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
+        df = df[key_cols + ["revision_id", "timestamp", "action", "new_value",
+                            "new_datatype", "doc_id"]]
+        if len(df):
+            key = df[key_cols].astype(str).agg("|".join, axis=1)
+            salts = np.fromiter(
+                (int.from_bytes(hashlib.sha1(k.encode()).digest()[:4],
+                                "little") % buckets for k in key),
+                dtype=np.int64, count=len(df))
+        else:
+            salts = np.array([], dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False).append_column(
+            "_salt", pa.array(salts, type=pa.int64()))
 
     partial = value_change_ds.map_batches(local_last, batch_format="pyarrow")
 
-    def final_last(group):
-        g = group.sort_values("revision_id").tail(1)
-        g = g[g["action"] != "DELETE"]
+    def replay_bucket(group):
+        # all of a statement's partials land in its bucket: replay per bucket
+        # with one vectorized pandas pass, not one task per statement
+        g = group.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
+        g = g[g["action"] != "DELETE"].drop(columns=["_salt"])
         return g.rename(columns={"entity_id": "subj", "property_id": "pred",
                                  "new_value": "obj"})
 
-    return partial.groupby(key_cols).map_groups(final_last, batch_format="pandas")
+    return partial.groupby("_salt").map_groups(replay_bucket, batch_format="pandas")
 
 
 def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
@@ -176,31 +188,37 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
     instead of hammering one. A local per-block dedup runs first so the
     shuffle moves each block's distinct keys only.
     """
+    import hashlib
+
+    import numpy as np
     import pyarrow as pa
 
+    buckets = salt_buckets or 64
+
     def drop_local_dupes(batch: pa.Table) -> pa.Table:
-        # partial dedup inside each block before any shuffle
+        # partial dedup inside each block before any shuffle, then tag each
+        # surviving row with its PK-hash bucket — the shuffle key
         df = batch.to_pandas()
         df = df.drop_duplicates(subset=pk_cols, keep="first")
         out = pa.Table.from_pandas(df, preserve_index=False)
-        if salt_buckets:
-            import numpy as np
-            import pandas as pd
-
-            key = df[pk_cols].astype(str).agg("|".join, axis=1) if len(df) else \
-                pd.Series([], dtype=str)
+        if len(df):
+            key = df[pk_cols].astype(str).agg("|".join, axis=1)
             salts = np.fromiter(
-                (int.from_bytes(__import__("hashlib").sha1(k.encode()).digest()[:4],
-                                "little") % salt_buckets for k in key),
+                (int.from_bytes(hashlib.sha1(k.encode()).digest()[:4],
+                                "little") % buckets for k in key),
                 dtype=np.int64, count=len(df))
-            out = out.append_column("_salt", pa.array(salts, type=pa.int64()))
-        return out
+        else:
+            salts = np.array([], dtype=np.int64)
+        return out.append_column("_salt", pa.array(salts, type=pa.int64()))
 
     ds = ds.map_batches(drop_local_dupes, batch_format="pyarrow")
 
-    def first_of_group(group):
-        g = group.head(1)
-        return g.drop(columns=["_salt"], errors="ignore")
+    def dedup_bucket(group):
+        # one pandas drop_duplicates per BUCKET (not per PK) — all duplicates
+        # of a key share its bucket, so this is exact with ~buckets groups
+        # instead of one group per distinct key
+        g = group.sort_values(pk_cols, kind="stable")
+        g = g.drop_duplicates(subset=pk_cols, keep="first")
+        return g.drop(columns=["_salt"])
 
-    keys = (["_salt"] + list(pk_cols)) if salt_buckets else list(pk_cols)
-    return ds.groupby(keys).map_groups(first_of_group, batch_format="pandas")
+    return ds.groupby("_salt").map_groups(dedup_bucket, batch_format="pandas")

@@ -40,16 +40,30 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
                  type=pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per exact content hash. One groupby shuffle on the
-    40-byte hash; ties broken deterministically by id."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
-                            batch_format="pyarrow")
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 64):
+    """Keep the min-id row per exact content hash; deterministic tie-break.
+
+    Shuffle key is a coarse hash bucket (all rows with one content hash share
+    a bucket), and the per-bucket reducer is one vectorized pandas
+    drop_duplicates — ~`buckets` reduce groups total instead of one group per
+    distinct document, which is what keeps the reduce side cheap at corpus
+    scale."""
+    def hash_and_bucket(batch: pa.Table) -> pa.Table:
+        out = add_content_hash(batch, text_col)
+        hashes = out.column("content_hash").to_pylist()
+        keys = np.fromiter((int(h[:8], 16) % buckets for h in hashes),
+                           dtype=np.int64, count=len(hashes))
+        return out.append_column("_bucket", pa.array(keys, type=pa.int64()))
+
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
     def keep_first(group):
-        return group.sort_values(id_col).head(1)
+        g = group.sort_values([("content_hash"), (id_col)])
+        g = g.drop_duplicates(subset=["content_hash"], keep="first")
+        return g.drop(columns=["_bucket"])
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("_bucket").map_groups(keep_first, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -143,22 +157,33 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                      id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
 
+    def coarse_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column("bucket").to_pylist()
+        coarse = np.fromiter((int(k.split(":", 1)[1][:8], 16) % 64 for k in keys),
+                             dtype=np.int64, count=len(keys))
+        return batch.append_column("_coarse", pa.array(coarse, type=pa.int64()))
+
     def bucket_losers(group):
-        """Within one LSH bucket: verify signature-level Jaccard against the
-        min-id representative; emit ids to drop."""
+        """Per coarse partition: for every LSH bucket inside it, verify
+        signature-level Jaccard of each member against the min-id
+        representative; emit ids to drop. One pandas pass over the partition,
+        not one task per bucket."""
         import pandas as pd
 
-        if len(group) < 2:
-            return pd.DataFrame({"drop_id": []}).astype({"drop_id": group[id_col].dtype})
-        g = group.sort_values(id_col)
-        sigs = np.stack(g["minhash"].to_numpy())
-        ids = g[id_col].to_numpy()
-        keep_sig = sigs[0]
-        sim = (sigs[1:] == keep_sig).mean(axis=1)
-        drops = ids[1:][sim >= jaccard_threshold]
-        return pd.DataFrame({"drop_id": drops})
+        drops = []
+        g = group.sort_values(["bucket", id_col])
+        for _, bucket in g.groupby("bucket", sort=False):
+            if len(bucket) < 2:
+                continue
+            sigs = np.stack(bucket["minhash"].to_numpy())
+            ids = bucket[id_col].to_numpy()
+            sim = (sigs[1:] == sigs[0]).mean(axis=1)
+            drops.extend(ids[1:][sim >= jaccard_threshold])
+        return pd.DataFrame({"drop_id": drops}).astype(
+            {"drop_id": group[id_col].dtype})
 
-    drops = sig_ds.groupby("bucket").map_groups(bucket_losers, batch_format="pandas")
+    drops = sig_ds.map_batches(coarse_bucket, batch_format="pyarrow") \
+        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
     drop_ids = set(r["drop_id"] for r in drops.take_all())
 
     def filter_dropped(batch: pa.Table) -> pa.Table:
@@ -232,20 +257,28 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: _explode_simhash_blocks(b, text_col, id_col, n_blocks),
         batch_format="pyarrow")
 
+    def coarse(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
+        return batch.append_column("_coarse", pa.array(keys % 64, type=pa.int64()))
+
     def bucket_losers(group):
         import pandas as pd
 
-        if len(group) < 2:
-            return pd.DataFrame({"drop_id": []}).astype({"drop_id": group[id_col].dtype})
-        g = group.sort_values(id_col)
-        hashes = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        keep = hashes[0]
-        x = hashes[1:] ^ keep
-        dist = np.array([bin(int(v)).count("1") for v in x])
-        return pd.DataFrame({"drop_id": ids[1:][dist <= max_hamming]})
+        drops = []
+        g = group.sort_values(["bucket", id_col])
+        for _, bucket in g.groupby("bucket", sort=False):
+            if len(bucket) < 2:
+                continue
+            hashes = bucket["simhash"].to_numpy().astype(np.uint64)
+            ids = bucket[id_col].to_numpy()
+            x = hashes[1:] ^ hashes[0]
+            dist = np.array([bin(int(v)).count("1") for v in x])
+            drops.extend(ids[1:][dist <= max_hamming])
+        return pd.DataFrame({"drop_id": drops}).astype(
+            {"drop_id": group[id_col].dtype})
 
-    drops = slim.groupby("bucket").map_groups(bucket_losers, batch_format="pandas")
+    drops = slim.map_batches(coarse, batch_format="pyarrow") \
+        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
     drop_ids = set(r["drop_id"] for r in drops.take_all())
 
     def filter_dropped(batch: pa.Table) -> pa.Table:
@@ -294,22 +327,31 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     bds = ds.map_batches(add_bucket, batch_format="pyarrow")
 
+    def coarse(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("lsh_bucket").to_pylist(), dtype=np.int64)
+        return batch.append_column("_coarse", pa.array(keys % 64, type=pa.int64()))
+
     def bucket_losers(group):
         import pandas as pd
 
-        if len(group) < 2:
-            return pd.DataFrame({"drop_id": []}).astype({"drop_id": group[id_col].dtype})
-        g = group.sort_values(id_col)
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float32)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        vecs = vecs / norms[:, None]
-        ids = g[id_col].to_numpy()
-        sims = vecs[1:] @ vecs[0]
-        return pd.DataFrame({"drop_id": ids[1:][sims >= cosine_threshold]})
+        drops = []
+        g = group.sort_values(["lsh_bucket", id_col])
+        for _, bucket in g.groupby("lsh_bucket", sort=False):
+            if len(bucket) < 2:
+                continue
+            vecs = np.stack(bucket[vec_col].to_numpy()).astype(np.float32)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms[:, None]
+            ids = bucket[id_col].to_numpy()
+            sims = vecs[1:] @ vecs[0]
+            drops.extend(ids[1:][sims >= cosine_threshold])
+        return pd.DataFrame({"drop_id": drops}).astype(
+            {"drop_id": group[id_col].dtype})
 
     drops = bds.select_columns([id_col, vec_col, "lsh_bucket"]) \
-        .groupby("lsh_bucket").map_groups(bucket_losers, batch_format="pandas")
+        .map_batches(coarse, batch_format="pyarrow") \
+        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
     drop_ids = set(r["drop_id"] for r in drops.take_all())
 
     def filter_dropped(batch: pa.Table) -> pa.Table:
