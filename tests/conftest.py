@@ -32,5 +32,5 @@ def corpus_parquet(tmp_path_factory, small_corpus):
     import pyarrow.parquet as pq
 
     path = tmp_path_factory.mktemp("corpus") / "docs.parquet"
-    pq.write_table(small_corpus[0], str(path))
+    pq.write_table(small_corpus[0], str(path), row_group_size=20)
     return str(path)

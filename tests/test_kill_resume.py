@@ -35,7 +35,7 @@ def test_kill_mid_run_then_resume(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     docs, _ = make_corpus(250, seed=31)
     src = str(tmp_path / "docs.parquet")
-    pqw.write_table(docs, src)
+    pqw.write_table(docs, src, row_group_size=20)
 
     # uninterrupted reference run
     ref_out = str(tmp_path / "ref_out")

@@ -53,7 +53,7 @@ class TestEnrichmentPipeline:
         docs, _ = make_corpus(40, seed=5)
         import pyarrow.parquet as pqw
         src = str(tmp_path / "docs.parquet")
-        pqw.write_table(docs, src)
+        pqw.write_table(docs, src, row_group_size=20)
         out = str(tmp_path / "out")
         run_extraction(src, out, concurrency=2)
 

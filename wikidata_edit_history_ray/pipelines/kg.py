@@ -63,13 +63,21 @@ def run_extraction(input_path: str, output_dir: str,
     """Full multi-table extraction with lineage manifest; returns the manifest
     as a small materialized Dataset (one row per partition).
 
-    Resume: re-running with the same input + output_dir skips every partition
-    whose manifest file exists — only missing partitions are recomputed.
+    The work units are DETERMINISTIC (file, row-group) partitions of the
+    input — never Ray batch boundaries, which vary run to run — so a re-run
+    with the same input + output_dir skips exactly the partitions whose
+    manifest files exist and recomputes only the missing ones, with no
+    duplicate part files. `documents_ds`/`batch_size` are accepted for API
+    compatibility and ignored (the input must be addressable parquet/Lance).
     """
-    from ..sources.io import read_documents
+    import ray.data
 
+    from ..stages.extract import list_partition_specs
+
+    del documents_ds, batch_size
     os.makedirs(output_dir, exist_ok=True)
-    ds = documents_ds if documents_ds is not None else read_documents(input_path)
+    specs = list_partition_specs(input_path)
+    ds = ray.data.from_items(specs)
     pl_ref, sa_ref, ao_ref = _broadcast_aux(property_labels, sa_types, ao_types)
     cfg = (config or DiffConfig()).to_dict()
     kwargs = dict(output_dir=output_dir, config=cfg, property_labels=pl_ref,
@@ -77,12 +85,10 @@ def run_extraction(input_path: str, output_dir: str,
     if concurrency is not None:
         manifest = ds.map_batches(
             MultiSinkExtractor, fn_constructor_kwargs=kwargs,
-            batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True, concurrency=concurrency)
+            batch_format="pyarrow", batch_size=1, concurrency=concurrency)
     else:
         manifest = ds.map_batches(
-            MultiSinkExtractor(**kwargs), batch_format="pyarrow",
-            batch_size=batch_size, zero_copy_batch=True)
+            MultiSinkExtractor(**kwargs), batch_format="pyarrow", batch_size=1)
     mat = manifest.materialize()
     # persist the run-level manifest next to the outputs (throughput accounting,
     # the analog of the reference's per-file metrics CSV, scripts/file_parser.py:393-417)

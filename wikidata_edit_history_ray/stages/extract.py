@@ -152,12 +152,16 @@ class ChangeExtractor:
 class MultiSinkExtractor(ChangeExtractor):
     """Extraction with fan-out parquet sinks + per-partition lineage manifest.
 
-    Each batch is diffed once and every logical table is written to
-    `<output_dir>/<table>/part-<fingerprint>.parquet`. The returned batch is a
-    single manifest row per input partition (input fingerprint, row counts,
+    The work unit is a DETERMINISTIC input partition — one (file, row-group)
+    pair — not a Ray batch: Ray's block/batch boundaries vary run to run, so a
+    batch-fingerprinted sink would both miss resume hits and leave stale part
+    files behind (duplicate output rows). Each task receives a partition spec
+    row, reads exactly that row group, diffs it, and writes every logical
+    table to `<output_dir>/<table>/<partition_id>.parquet`. The returned batch
+    is one manifest row per partition (input fingerprint, row counts,
     timings) — the tiny dataset the driver consumes, so the big outputs never
-    transit the object store twice. A partition whose manifest file already
-    exists is skipped wholesale (resume path).
+    transit the object store. A partition whose manifest file exists is
+    skipped wholesale (resume path).
     """
 
     def __init__(self, output_dir: str, config: dict | None = None,
@@ -172,71 +176,97 @@ class MultiSinkExtractor(ChangeExtractor):
 
         import pyarrow.parquet as pq
 
-        doc_ids = batch.column("doc_id").to_pylist()
-        h = hashlib.sha1()
-        for d in doc_ids:
-            h.update(d.encode("utf-8"))
-        import pyarrow.compute as pc
+        rows = []
+        for spec in batch.to_pylist():
+            path, rg, num_rows = spec["file"], spec["row_group"], spec["num_rows"]
+            fingerprint = hashlib.sha1(
+                f"{os.path.basename(path)}:{rg}:{num_rows}".encode()).hexdigest()[:16]
+            part_id = f"part-{fingerprint}"
+            manifest_dir = os.path.join(self.output_dir, "_manifest")
+            manifest_path = os.path.join(manifest_dir, f"{part_id}.json")
 
-        num_spans = int(pc.sum(pc.list_value_length(batch.column("spans"))).as_py() or 0)
-        fingerprint = h.hexdigest()[:16]
-        part_id = f"part-{fingerprint}"
-        manifest_dir = os.path.join(self.output_dir, "_manifest")
-        manifest_path = os.path.join(manifest_dir, f"{part_id}.json")
-
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                m = json.load(f)
-            m["resumed"] = True
-            return self._manifest_row(m)
-
-        t0 = time.time()
-        tables, errors = self.extract_batch(batch, file_path=part_id)
-        extract_seconds = time.time() - t0
-
-        t0 = time.time()
-        rows_per_table = {}
-        for name, table in tables.items():
-            rows_per_table[name] = table.num_rows
-            if table.num_rows == 0:
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    m = json.load(f)
+                m["resumed"] = True
+                rows.append(m)
                 continue
-            tdir = os.path.join(self.output_dir, name)
-            os.makedirs(tdir, exist_ok=True)
-            pq.write_table(table, os.path.join(tdir, f"{part_id}.parquet"),
-                           compression=self.compression)
-        if errors:
-            edir = os.path.join(self.output_dir, "errors")
-            os.makedirs(edir, exist_ok=True)
-            pq.write_table(
-                rows_to_table_errors(errors),
-                os.path.join(edir, f"{part_id}.parquet"),
-                compression=self.compression)
-            rows_per_table["errors"] = len(errors)
-        write_seconds = time.time() - t0
 
-        m = {
-            "partition_id": part_id,
-            "input_fingerprint": fingerprint,
-            "num_docs": len(doc_ids),
-            "num_spans": num_spans,
-            "rows_per_table": json.dumps(rows_per_table),
-            "extract_seconds": extract_seconds,
-            "write_seconds": write_seconds,
-            "resumed": False,
-        }
-        os.makedirs(manifest_dir, exist_ok=True)
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, manifest_path)  # atomic: manifest is the commit point
-        return self._manifest_row(m)
+            t0 = time.time()
+            docs = pq.ParquetFile(path).read_row_group(rg)
+            import pyarrow.compute as pc
+
+            num_spans = int(pc.sum(pc.list_value_length(docs.column("spans"))).as_py() or 0)
+            tables, errors = self.extract_batch(docs, file_path=part_id)
+            extract_seconds = time.time() - t0
+
+            t0 = time.time()
+            rows_per_table = {}
+            for name, table in tables.items():
+                rows_per_table[name] = table.num_rows
+                if table.num_rows == 0:
+                    continue
+                tdir = os.path.join(self.output_dir, name)
+                os.makedirs(tdir, exist_ok=True)
+                pq.write_table(table, os.path.join(tdir, f"{part_id}.parquet"),
+                               compression=self.compression)
+            if errors:
+                edir = os.path.join(self.output_dir, "errors")
+                os.makedirs(edir, exist_ok=True)
+                pq.write_table(
+                    rows_to_table_errors(errors),
+                    os.path.join(edir, f"{part_id}.parquet"),
+                    compression=self.compression)
+                rows_per_table["errors"] = len(errors)
+            write_seconds = time.time() - t0
+
+            m = {
+                "partition_id": part_id,
+                "input_fingerprint": fingerprint,
+                "num_docs": docs.num_rows,
+                "num_spans": num_spans,
+                "rows_per_table": json.dumps(rows_per_table),
+                "extract_seconds": extract_seconds,
+                "write_seconds": write_seconds,
+                "resumed": False,
+            }
+            os.makedirs(manifest_dir, exist_ok=True)
+            tmp = manifest_path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, manifest_path)  # atomic: manifest is the commit point
+            rows.append(m)
+        return self._manifest_rows(rows)
 
     @staticmethod
-    def _manifest_row(m: dict) -> pa.Table:
+    def _manifest_rows(ms: list) -> pa.Table:
         from .schemas import MANIFEST_SCHEMA
 
-        return pa.Table.from_pylist([{k: m.get(k) for k in MANIFEST_SCHEMA.names}],
-                                    schema=MANIFEST_SCHEMA)
+        return pa.Table.from_pylist(
+            [{k: m.get(k) for k in MANIFEST_SCHEMA.names} for m in ms],
+            schema=MANIFEST_SCHEMA)
+
+
+def list_partition_specs(input_path: str) -> list:
+    """Deterministic partition list for a parquet file or directory: one spec
+    per (file, row_group). Cheap — reads only parquet footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f) for f in os.listdir(input_path)
+            if f.endswith(".parquet"))
+    else:
+        files = [input_path]
+    specs = []
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            specs.append({"file": f, "row_group": rg,
+                          "num_rows": md.row_group(rg).num_rows})
+    return specs
 
 
 def rows_to_table_errors(errors) -> pa.Table:
