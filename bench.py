@@ -29,6 +29,7 @@ HEADLINE_QUERIES = [
     "kg_value_change",
     "kg_entity_stats",
     "kg_property_stats",
+    "kg_graph_triples",
     "dedup_exact_docs",
     "minhash_dedup_docs",
     "text_analysis",
