@@ -509,11 +509,10 @@ class PageDiffer:
                          key == "language")
 
     # ----- rank differ (D8) -----
-    def _handle_rank_changes(self, prev_stmt, curr_stmt, pid, sid, old_hash, new_hash):
+    def _handle_rank_changes(self, prev_stmt, curr_stmt, pid, sid, old_hash,
+                             new_hash, old_datatype, new_datatype):
         prev_rank = prev_stmt.get("rank") if prev_stmt else None
         curr_rank = curr_stmt.get("rank") if curr_stmt else None
-        _, new_datatype, _ = parse_statement_datavalue(curr_stmt)
-        _, old_datatype, _ = parse_statement_datavalue(prev_stmt)
         if not prev_stmt:
             self._save_change(id_to_int(pid), sid, None, curr_rank, old_datatype,
                               new_datatype, "rank", CREATE_PROPERTY_VALUE, None, new_hash)
@@ -742,7 +741,8 @@ class PageDiffer:
                             UPDATE_PROPERTY_DATATYPE_METADATA, old_hash, new_hash)
 
                 rank_changed = self._handle_rank_changes(
-                    prev_stmt, curr_stmt, pid, sid, old_hash, new_hash)
+                    prev_stmt, curr_stmt, pid, sid, old_hash, new_hash,
+                    old_datatype, new_datatype)
                 qual_changed = self._handle_qualifier_changes(pid, sid, prev_stmt, curr_stmt)
                 ref_changed = self._handle_reference_changes(pid, sid, prev_stmt, curr_stmt)
                 change_detected = change_detected or rank_changed or qual_changed or ref_changed

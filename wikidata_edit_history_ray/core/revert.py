@@ -24,9 +24,14 @@ _TZ_SUFFIX_RE = re.compile(r"[+-]\d{2}:?\d{0,2}$")
 def _parse_timestamp(ts):
     if isinstance(ts, datetime):
         return ts
-    ts_str = str(ts).replace("T", " ").replace("Z", "")
-    ts_str = _TZ_SUFFIX_RE.sub("", ts_str).strip()
-    return datetime.strptime(ts_str, "%Y-%m-%d %H:%M:%S")
+    s = str(ts)
+    try:  # canonical 'YYYY-MM-DDTHH:MM:SSZ' fast path
+        return datetime(int(s[0:4]), int(s[5:7]), int(s[8:10]),
+                        int(s[11:13]), int(s[14:16]), int(s[17:19]))
+    except (ValueError, IndexError):
+        ts_str = s.replace("T", " ").replace("Z", "")
+        ts_str = _TZ_SUFFIX_RE.sub("", ts_str).strip()
+        return datetime.strptime(ts_str, "%Y-%m-%d %H:%M:%S")
 
 
 def check_revert(current_change: dict, next_change: dict, time_threshold: int) -> int:
