@@ -232,6 +232,80 @@ def _q_customer_nation_counts(sf_dir: str):
         .aggregate(Count(alias_name="num_customers"))
 
 
+def _q_orders_priority_monthly(sf_dir: str):
+    """Multi-key groupby with time bucketing over orders."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_orderpriority",
+                                        "o_totalprice"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ym = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        return pa.table({"year_month": ym,
+                         "o_orderpriority": batch.column("o_orderpriority"),
+                         "o_totalprice": batch.column("o_totalprice")})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["year_month", "o_orderpriority"]).aggregate(
+            Count(alias_name="num_orders"),
+            Sum("o_totalprice", alias_name="total_price"))
+    return _round_cols(out, ["total_price"])
+
+
+def _q_supplier_part_stats(sf_dir: str):
+    """Broadcast dimension join (part -> brand) + rollup over partsupp-less
+    schema: supplier x part via lineitem."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand = dict(zip(part.column("p_partkey").to_pylist(),
+                     part.column("p_brand").to_pylist()))
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        brands = [brand.get(k, "") for k in batch.column("l_partkey").to_pylist()]
+        return pa.table({"p_brand": pa.array(brands, type=pa.string()),
+                         "l_quantity": batch.column("l_quantity")})
+
+    out = ds.map_batches(enrich, batch_format="pyarrow").groupby("p_brand") \
+        .aggregate(Count(alias_name="num_lineitems"),
+                   Sum("l_quantity", alias_name="total_qty"))
+    return _round_cols(out, ["total_qty"])
+
+
+def _q_events_filtered_distinct(sf_dir: str):
+    """Filter pushdown + distinct: users that produced high-value events."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+    high = ds.filter(expr="value > 50.0")
+    return high.groupby(["user_id", "event_type"]).count() \
+        .select_columns(["user_id", "event_type"])
+
+
+def _q_docs_lang_source_matrix(sf_dir: str):
+    """Two-key groupby over documents with min/max aggregates."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="num_docs"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
 def _q_knn_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -415,6 +489,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": _q_top_users_by_value,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "customer_nation_counts": _q_customer_nation_counts,
+        "orders_priority_monthly": _q_orders_priority_monthly,
+        "supplier_part_stats": _q_supplier_part_stats,
+        "events_filtered_distinct": _q_events_filtered_distinct,
+        "docs_lang_source_matrix": _q_docs_lang_source_matrix,
         "knn_topk": _q_knn_topk,
         # --- rows-only operators ---
         "minhash_dedup_docs": _q_minhash_dedup,
@@ -477,6 +555,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.n_name AS n_name, COUNT(*)::BIGINT AS num_customers
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "orders_priority_monthly": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+                   o_orderpriority,
+                   COUNT(*)::BIGINT AS num_orders,
+                   ROUND(SUM(o_totalprice), 3) AS total_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "supplier_part_stats": """
+            SELECT p.p_brand AS p_brand, COUNT(*)::BIGINT AS num_lineitems,
+                   ROUND(SUM(l.l_quantity), 3) AS total_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "events_filtered_distinct": """
+            SELECT DISTINCT user_id, event_type
+            FROM events WHERE value > 50.0
+        """,
+        "docs_lang_source_matrix": """
+            SELECT lang, source, COUNT(*)::BIGINT AS num_docs,
+                   MIN(n_chars)::BIGINT AS min_chars,
+                   MAX(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY lang, source
         """,
         "knn_topk": """
             WITH q AS (
