@@ -177,6 +177,26 @@ class TestEdgeConformance:
         mine, theirs = run_both(sim)
         assert_vc_and_rev(mine, theirs)
 
+    def test_property_labels_flow_into_rows(self):
+        """J1: the broadcast property-label dict fills property_label columns
+        identically to the reference's per-process dict."""
+        from reference_shim import run_reference_page_parser
+
+        labels = {"31": "instance of", "-1": "label", "-2": "description",
+                  **{str(p): f"prop {p}" for p in range(100, 261)}}
+        sim = sim_for("Q712")
+        sim.op_add_statement(kind="string")
+        mine = PageDiffer(DiffConfig(extract_datatype_metadata=False),
+                          property_labels=labels).process_doc(sim.qid, sim.spans)
+        theirs = run_reference_page_parser(
+            sim.qid, sim.spans, property_labels=labels,
+            workdir="/tmp/widiff_ref_conformance")
+        li = VALUE_CHANGE_COLS.index("property_label")
+        got = sorted(_norm(r[li]) for r in mine["value_change"])
+        exp = sorted(_norm(r[li]) for r in theirs["value_change"])
+        assert got == exp
+        assert any(v == "instance of" for v in got)
+
     def test_interleaved_media_ignored_by_reference_comparison(self):
         """Media spans are engine-side lineage; the revision walk must be
         unaffected by their presence."""

@@ -92,17 +92,42 @@ def explode_ds(ds, fn):
 
 
 def corpus_stats(entity_stats_ds):
-    """Global corpus aggregates (A4): one Dataset.aggregate pass."""
+    """Global corpus aggregates (A4, the stats_sa_ao.sql metric set): one
+    Dataset.aggregate pass plus a tiny filtered count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-    return entity_stats_ds.aggregate(
+    def add_no_update_flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "no_updates",
+            pc.cast(pc.equal(batch.column("num_value_change_updates"), 0),
+                    pa.int64()))
+
+    ds = entity_stats_ds.map_batches(add_no_update_flag, batch_format="pyarrow")
+    return ds.aggregate(
         Count(alias_name="num_entities"),
         Sum("num_revisions", alias_name="total_revisions"),
         Sum("num_value_changes", alias_name="total_value_changes"),
+        Sum("num_value_change_creates", alias_name="total_value_change_creates"),
+        Sum("num_value_change_deletes", alias_name="total_value_change_deletes"),
+        Sum("num_value_change_updates", alias_name="total_value_change_updates"),
+        Sum("no_updates", alias_name="num_entities_no_updates"),
+        Mean("num_value_changes", alias_name="avg_value_changes"),
+        Mean("num_value_change_creates", alias_name="avg_value_change_creates"),
+        Mean("num_value_change_deletes", alias_name="avg_value_change_deletes"),
+        Mean("num_value_change_updates", alias_name="avg_value_change_updates"),
+        Sum("num_rank_changes", alias_name="total_rank_changes"),
         Sum("num_qualifier_changes", alias_name="total_qualifier_changes"),
         Sum("num_reference_changes", alias_name="total_reference_changes"),
-        Sum("num_reverted_edits", alias_name="total_reverted_edits"),
         Sum("num_bot_edits", alias_name="total_bot_edits"),
+        Sum("num_anonymous_edits", alias_name="total_anonymous_edits"),
+        Sum("num_human_edits", alias_name="total_human_edits"),
+        Sum("num_reverted_edits", alias_name="total_reverted_edits"),
+        Sum("num_reversions", alias_name="total_reversions"),
+        Sum("num_reverted_edits_create", alias_name="total_reverted_creates"),
+        Sum("num_reverted_edits_delete", alias_name="total_reverted_deletes"),
+        Sum("num_reverted_edits_update", alias_name="total_reverted_updates"),
         Mean("num_revisions", alias_name="avg_revisions_per_entity"),
         Min("num_revisions", alias_name="min_revisions"),
         Max("num_revisions", alias_name="max_revisions"),
