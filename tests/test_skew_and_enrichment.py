@@ -68,3 +68,22 @@ class TestEnrichmentPipeline:
         assert t.column("old_value_subclass_new_value").null_count == 0
         t2 = pq.read_table(res["features_text_enriched"])
         assert t2.column("value_cosine_similarity").null_count == 0
+
+
+class TestWideDocGuard:
+    def test_over_limit_docs_routed_to_errors(self, ray_session):
+        import ray
+
+        from wikidata_edit_history_ray.core.differ import DiffConfig
+        from wikidata_edit_history_ray.pipelines.kg import extract_table
+        from wikidata_edit_history_ray.sources.corpus import make_corpus
+
+        docs, _ = make_corpus(30, seed=3, hot_doc_revisions=200, hot_doc_every=10)
+        ds = ray.data.from_arrow(docs)
+        cfg = DiffConfig(max_spans_per_doc=100)
+        errs = extract_table(ds, "errors", config=cfg, concurrency=2).take_all()
+        assert len(errs) == 2
+        assert all("WideDocSkipped" in e["error"] for e in errs)
+        n_guarded = extract_table(ds, "entity_stats", config=cfg, concurrency=2).count()
+        n_full = extract_table(ds, "entity_stats", concurrency=2).count()
+        assert n_guarded == n_full - 2

@@ -84,6 +84,7 @@ class DiffConfig:
         extract_scholarly_articles: bool = True,
         extract_astronomical_objects: bool = True,
         extract_less: bool = True,
+        max_spans_per_doc: int | None = None,
     ):
         self.language = language
         self.re_interpretation = re_interpretation
@@ -94,6 +95,11 @@ class DiffConfig:
         self.extract_scholarly_articles = extract_scholarly_articles
         self.extract_astronomical_objects = extract_astronomical_objects
         self.extract_less = extract_less
+        # wide-row guard: a pathological doc (a GB-scale span list, e.g. the
+        # Wikidata sandbox with 60k+ revisions) whose change expansion would
+        # not fit a worker heap is routed to the errors table instead of
+        # OOM-killing the task; None = unlimited
+        self.max_spans_per_doc = max_spans_per_doc
 
     @classmethod
     def from_dict(cls, d: dict) -> "DiffConfig":

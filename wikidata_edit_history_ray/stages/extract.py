@@ -117,9 +117,15 @@ class ChangeExtractor:
         buf = {t: [] for t in TABLE_COLS}
         routing = {t: [] for t in TABLE_COLS}
         errors = []
+        max_spans = self.differ.cfg.max_spans_per_doc
         for doc_id, spans in zip(doc_ids, spans_col):
             if not doc_id or not doc_id.startswith("Q"):
                 continue  # non-entity docs are filtered, like non-Q page titles
+            if max_spans is not None and spans and len(spans) > max_spans:
+                errors.append((doc_id,
+                               f"WideDocSkipped: {len(spans)} spans > "
+                               f"max_spans_per_doc={max_spans}"))
+                continue
             try:
                 out = self.differ.process_doc(doc_id, spans or [], file_path)
             except Exception as e:  # poison doc: route to error table, keep going
