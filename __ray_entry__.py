@@ -453,6 +453,14 @@ def _q_kg_canonical_triples(sf_dir: str):
                       "action", "entity_id"])
 
 
+def _q_kg_media_features(sf_dir: str):
+    """Interleaved media spans -> per-span media feature rows (decode stubbed,
+    plumbing real): the engine's multimodal path over the same doc table."""
+    from wikidata_edit_history_ray.stages.media import extract_media_from_docs
+
+    return extract_media_from_docs(_docs_ds(sf_dir))
+
+
 def _q_kg_features_entity_enriched(sf_dir: str):
     from wikidata_edit_history_ray.stages.enrich import enrich_entity_features
 
@@ -474,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_spans": _q_kg("doc_spans"),
         "kg_features_text": _q_kg("features_text"),
         "kg_features_time": _q_kg("features_time"),
+        "kg_media_features": _q_kg_media_features,
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_property_stats": _q_kg_property_stats,

@@ -248,3 +248,26 @@ class TestAnalysis:
         top = top_k(es, "num_value_changes", k=5).take_all()
         assert len(top) == 5
         assert top[0]["num_value_changes"] >= top[-1]["num_value_changes"]
+
+
+class TestInterleavedMedia:
+    def test_every_media_span_gets_a_feature_row(self, ray_session, small_corpus):
+        import ray
+
+        from wikidata_edit_history_ray.stages.media import extract_media_from_docs
+
+        docs, exp = small_corpus
+        out = extract_media_from_docs(ray.data.from_arrow(docs),
+                                      batch_size=32).take_all()
+        expected_media = {(d, s["offset"], s["media_ref"])
+                          for d, spans in exp["spans"].items()
+                          for s in spans if s["kind"] == "media"}
+        got = {(r["doc_id"], r["offset"], r["media_ref"]) for r in out}
+        assert got == expected_media
+        assert all(len(r["media_features"]) == 16 for r in out)
+        # deterministic payload resolution: rerun matches
+        out2 = extract_media_from_docs(ray.data.from_arrow(docs),
+                                       batch_size=32).take_all()
+        f1 = {r["media_ref"]: r["media_features"] for r in out}
+        f2 = {r["media_ref"]: r["media_features"] for r in out2}
+        assert f1 == f2

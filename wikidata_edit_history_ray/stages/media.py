@@ -84,6 +84,56 @@ def extract_media_features(ds, concurrency=None, batch_size: int = 16, fake: boo
                           batch_size=batch_size)
 
 
+class MediaRefResolver:
+    """Stand-in for the media payload store: resolves media_ref -> payload
+    bytes. Deterministic fake (payload derived from the ref hash); swap for a
+    real object-store/Lance-blob fetch in production — the stage signature,
+    batch sizing and output layout are unchanged."""
+
+    def __init__(self, seed: int = 3):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for ref in batch.column("media_ref").to_pylist():
+            n = 256 + int(hashlib.sha1((ref or "").encode()).digest()[0])
+            rng = np.random.RandomState(
+                int.from_bytes(hashlib.sha1((ref or "").encode()).digest()[:4],
+                               "little") ^ self.seed)
+            payloads.append(bytes(rng.randint(0, 256, size=n, dtype=np.uint8)))
+        return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def extract_media_from_docs(docs_ds, concurrency=None, batch_size: int = 64):
+    """Interleaved-media pipeline: documents (doc_id, spans) -> one feature
+    row per kind='media' span, keyed by (doc_id, span offset, media_ref).
+
+    Stages: flat-map media spans out of the span lists (tiny rows) ->
+    resolve payloads (small batches; payloads are the heavy part) ->
+    MediaFeatureStage decode+featurize.
+    """
+    def explode_media(batch: pa.Table) -> pa.Table:
+        doc_ids, offsets, refs = [], [], []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for span in spans or []:
+                if (span.get("kind") or "") == "media":
+                    doc_ids.append(doc_id)
+                    offsets.append(span.get("offset"))
+                    refs.append(span.get("media_ref") or "")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "offset": pa.array(offsets, type=pa.int32()),
+            "media_ref": pa.array(refs, type=pa.string()),
+        })
+
+    media = docs_ds.map_batches(explode_media, batch_format="pyarrow")
+    with_payloads = media.map_batches(MediaRefResolver(), batch_format="pyarrow",
+                                      batch_size=batch_size)
+    return extract_media_features(with_payloads, concurrency=concurrency,
+                                  batch_size=batch_size)
+
+
 def make_media_table(refs, seed: int = 3) -> pa.Table:
     """Deterministic fake media table for the given media_refs."""
     rng = np.random.RandomState(seed)
