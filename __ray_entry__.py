@@ -38,19 +38,33 @@ def _corpus_docs_for(sf_dir: str) -> int:
 
 def _corpus_path(sf_dir: str, n: int | None = None) -> str:
     """Generate (once) and cache the synthetic interleaved-doc corpus for a
-    scale tier."""
+    scale tier, together with its construction-time ground-truth expectation
+    parquet (the DuckDB side of the driver's oracle comparison)."""
+    import shutil
+
     from wikidata_edit_history_ray.sources.corpus import write_corpus_parquet
 
     if n is None:
         n = _corpus_docs_for(sf_dir)
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded_v2")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
+    path = os.path.join(_CACHE_DIR, f"docs_{n}_sharded_v3")
+    expect = path + "_expect"
+    if not (os.path.exists(path) and os.path.isdir(expect)):
+        tmp, tmpe = path + ".tmp", expect + ".tmp"
+        for p in (tmp, tmpe):
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
         write_corpus_parquet(tmp, n, seed=42, hot_doc_revisions=1000,
-                             hot_doc_every=max(10, n // 10))
+                             hot_doc_every=max(10, n // 10), expect_dir=tmpe)
+        os.replace(tmpe, expect)
         os.replace(tmp, path)
     return path
+
+
+def _expect_dir(sf_dir: str) -> str:
+    """Path of the persisted expectation parquet for a scale tier (generating
+    the corpus on demand)."""
+    return _corpus_path(sf_dir) + "_expect"
 
 
 def _docs_ds(sf_dir: str):
@@ -404,11 +418,63 @@ def _q_ivf_topk(sf_dir: str):
         .select_columns(["query_idx", "vec_id"])
 
 
+# per-table projections for the driver comparison: exactly the columns the
+# generator records ground truth for (tests/test_expectations_oracle.py proves
+# engine == expectation on these multisets)
+_KG_PROJECTIONS = {
+    "value_change": ["revision_id", "property_id", "value_id", "change_target",
+                     "action", "entity_id"],
+    "revision": ["prev_revision_id", "revision_id", "entity_id", "timestamp",
+                 "user_id", "username", "user_type", "comment", "doc_id",
+                 "entity_label"],
+    "qualifier_change": ["revision_id", "property_id", "value_id",
+                         "qual_property_id", "action", "entity_id"],
+    "reference_change": ["revision_id", "property_id", "value_id",
+                         "ref_property_id", "action", "entity_id"],
+    "datatype_metadata_change": ["revision_id", "property_id", "value_id",
+                                 "change_target", "action", "entity_id"],
+    "entity_stats": [
+        "entity_id", "entity_label", "entity_types_31", "num_revisions",
+        "num_value_changes", "num_value_change_creates",
+        "num_value_change_deletes", "num_value_change_updates",
+        "num_rank_changes", "num_rank_creates", "num_rank_deletes",
+        "num_rank_updates", "num_qualifier_changes", "num_reference_changes",
+        "num_datatype_metadata_changes", "num_datatype_metadata_creates",
+        "num_datatype_metadata_deletes", "num_datatype_metadata_updates",
+        "first_revision_timestamp", "last_revision_timestamp",
+        "num_bot_edits", "num_anonymous_edits", "num_human_edits",
+        "is_scholarly_article", "is_astronomical_object",
+        "has_less_revisions"],
+    "doc_spans": ["doc_id", "entity_id", "span_index", "kind", "offset",
+                  "media_ref", "text_sha1"],
+    "features_text": ["revision_id", "property_id", "value_id"],
+    "features_time": ["revision_id", "property_id", "value_id"],
+    "features_quantity": ["revision_id", "property_id", "value_id"],
+    "features_globecoordinate": ["revision_id", "property_id", "value_id"],
+    "features_entity": ["revision_id", "property_id", "value_id"],
+}
+
+
 def _q_kg(table: str):
     def f(sf_dir: str):
-        return _kg_table(sf_dir, table)
+        ds = _kg_table(sf_dir, table)
+        proj = _KG_PROJECTIONS.get(table)
+        return ds.select_columns(proj) if proj else ds
 
     return f
+
+
+def _q_kg_errors(sf_dir: str):
+    """Wide-row guard surface: docs whose span count exceeds the per-doc
+    budget are routed to the errors table (the hot docs in this corpus)."""
+    from wikidata_edit_history_ray.core.differ import DiffConfig
+    from wikidata_edit_history_ray.pipelines.kg import extract_table
+    from wikidata_edit_history_ray.sources.corpus import AO_TYPES, SA_TYPES
+
+    ds = extract_table(_docs_ds(sf_dir), "errors",
+                       config=DiffConfig(max_spans_per_doc=500),
+                       sa_types=set(SA_TYPES), ao_types=set(AO_TYPES))
+    return ds.select_columns(["doc_id"])
 
 
 def _q_kg_property_stats(sf_dir: str):
@@ -422,7 +488,14 @@ def _q_kg_corpus_stats(sf_dir: str):
 
     from wikidata_edit_history_ray.pipelines.analysis import corpus_stats
 
-    return pd.DataFrame([corpus_stats(_kg_table(sf_dir, "entity_stats"))])
+    stats = corpus_stats(_kg_table(sf_dir, "entity_stats"))
+    # revert counters are a separate engine pass the generator's ground truth
+    # does not model; everything else is oracle-checked
+    keep = [k for k in stats
+            if "reverted" not in k and k != "total_reversions"]
+    row = {k: (round(stats[k], 3) if isinstance(stats[k], float) else stats[k])
+           for k in keep}
+    return pd.DataFrame([row])
 
 
 def _q_kg_entity_type_stats(sf_dir: str):
@@ -437,7 +510,7 @@ def _q_kg_graph_triples(sf_dir: str):
     from wikidata_edit_history_ray.pipelines.kg import materialize_graph
 
     return materialize_graph(_kg_table(sf_dir, "value_change")) \
-        .select_columns(["subj", "pred", "value_id", "obj", "revision_id"])
+        .select_columns(["subj", "pred", "value_id"])
 
 
 def _q_kg_canonical_triples(sf_dir: str):
@@ -449,8 +522,7 @@ def _q_kg_canonical_triples(sf_dir: str):
     return dedup_changes(
         vc, ["revision_id", "property_id", "value_id", "change_target"],
         salt_buckets=16,
-    ).select_columns(["revision_id", "property_id", "value_id", "change_target",
-                      "action", "entity_id"])
+    ).select_columns(_KG_PROJECTIONS["value_change"])
 
 
 def _q_kg_media_features(sf_dir: str):
@@ -458,7 +530,9 @@ def _q_kg_media_features(sf_dir: str):
     plumbing real): the engine's multimodal path over the same doc table."""
     from wikidata_edit_history_ray.stages.media import extract_media_from_docs
 
-    return extract_media_from_docs(_docs_ds(sf_dir))
+    return extract_media_from_docs(_docs_ds(sf_dir)) \
+        .select_columns(["doc_id", "offset", "media_ref", "decoded_width",
+                         "decoded_height"])
 
 
 def _q_kg_features_entity_enriched(sf_dir: str):
@@ -466,8 +540,8 @@ def _q_kg_features_entity_enriched(sf_dir: str):
 
     fe = _kg_table(sf_dir, "features_entity")
     return enrich_entity_features(fe, entity_labels={}, concurrency=2) \
-        .select_columns(["revision_id", "property_id", "value_id", "old_value",
-                         "new_value", "is_link_change", "label_cosine_similarity"])
+        .select_columns(["revision_id", "property_id", "value_id",
+                         "is_link_change"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -482,6 +556,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_spans": _q_kg("doc_spans"),
         "kg_features_text": _q_kg("features_text"),
         "kg_features_time": _q_kg("features_time"),
+        "kg_features_quantity": _q_kg("features_quantity"),
+        "kg_features_globecoordinate": _q_kg("features_globecoordinate"),
+        "kg_features_entity": _q_kg("features_entity"),
+        "kg_errors": _q_kg_errors,
         "kg_media_features": _q_kg_media_features,
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_canonical_triples": _q_kg_canonical_triples,
@@ -513,8 +591,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _kg_oracles() -> dict[str, str]:
+    """DuckDB oracle SQL for the KG pipeline: reads the construction-time
+    ground-truth parquet persisted next to the sf0.01 corpus (the scale the
+    driver runs correctness at). Non-circular: the expectations are recorded
+    by the generator per edit operation, never derived from engine output
+    (tests/test_expectations_oracle.py proves the correspondence)."""
+    d = _expect_dir("/root/testdata/sf0.01")
+
+    def rp(name: str) -> str:
+        return f"read_parquet('{d}/{name}.parquet')"
+
+    feat = (lambda t: f"""
+        SELECT revision_id, property_id, value_id
+        FROM {rp('features')} WHERE "table" = '{t}'
+    """)
+    value_change_sql = f"""
+        SELECT revision_id, property_id, value_id, change_target, action,
+               entity_id
+        FROM {rp('value_change')}
+    """
+    return {
+        "kg_value_change": value_change_sql,
+        "kg_canonical_triples": value_change_sql,
+        "kg_revision": f"""
+            SELECT prev_revision_id, revision_id, entity_id, timestamp,
+                   user_id, username, user_type, comment, doc_id, entity_label
+            FROM {rp('revision')}
+        """,
+        "kg_qualifier_change": f"""
+            SELECT revision_id, property_id, value_id, qual_property_id,
+                   action, entity_id
+            FROM {rp('qualifier_change')}
+        """,
+        "kg_reference_change": f"""
+            SELECT revision_id, property_id, value_id, ref_property_id,
+                   action, entity_id
+            FROM {rp('reference_change')}
+        """,
+        "kg_datatype_metadata_change": f"""
+            SELECT revision_id, property_id, value_id, change_target, action,
+                   entity_id
+            FROM {rp('datatype_metadata_change')}
+        """,
+        "kg_entity_stats": f"SELECT * FROM {rp('entity_stats')}",
+        "kg_doc_spans": f"SELECT * FROM {rp('doc_spans')}",
+        "kg_features_text": feat("features_text"),
+        "kg_features_time": feat("features_time"),
+        "kg_features_quantity": feat("features_quantity"),
+        "kg_features_globecoordinate": feat("features_globecoordinate"),
+        "kg_features_entity": feat("features_entity"),
+        "kg_features_entity_enriched": f"""
+            SELECT revision_id, property_id, value_id,
+                   CAST(1 AS BIGINT) AS is_link_change
+            FROM {rp('features')} WHERE "table" = 'features_entity'
+        """,
+        "kg_graph_triples": f"SELECT subj, pred, value_id FROM {rp('graph_triples')}",
+        "kg_media_features": f"""
+            SELECT doc_id, "offset", media_ref,
+                   CAST(32 AS INTEGER) AS decoded_width,
+                   CAST(32 AS INTEGER) AS decoded_height
+            FROM {rp('doc_spans')} WHERE kind = 'media'
+        """,
+        "kg_errors": f"""
+            SELECT doc_id FROM {rp('doc_spans')}
+            GROUP BY doc_id HAVING COUNT(*) > 500
+        """,
+        "kg_property_stats": f"""
+            SELECT property_id,
+                   COUNT(DISTINCT entity_id)::BIGINT AS num_entities,
+                   COUNT(*)::BIGINT AS num_changes,
+                   SUM(CASE WHEN action = 'CREATE' THEN 1 ELSE 0 END)::BIGINT AS num_creates,
+                   SUM(CASE WHEN action = 'DELETE' THEN 1 ELSE 0 END)::BIGINT AS num_deletes,
+                   SUM(CASE WHEN action = 'UPDATE' THEN 1 ELSE 0 END)::BIGINT AS num_updates
+            FROM {rp('value_change')} GROUP BY property_id
+        """,
+        "kg_entity_type_stats": f"""
+            SELECT t AS individual_type, '' AS type_label,
+                   COUNT(*)::BIGINT AS num_entities,
+                   SUM(num_value_changes)::BIGINT AS num_value_changes
+            FROM (
+              SELECT unnest(string_split(entity_types_31, ', ')) AS t,
+                     num_value_changes
+              FROM {rp('entity_stats')} WHERE entity_types_31 <> ''
+            ) WHERE t <> '' GROUP BY t
+        """,
+        "kg_corpus_stats": f"""
+            SELECT COUNT(*)::BIGINT AS num_entities,
+                   SUM(num_revisions)::BIGINT AS total_revisions,
+                   SUM(num_value_changes)::BIGINT AS total_value_changes,
+                   SUM(num_value_change_creates)::BIGINT AS total_value_change_creates,
+                   SUM(num_value_change_deletes)::BIGINT AS total_value_change_deletes,
+                   SUM(num_value_change_updates)::BIGINT AS total_value_change_updates,
+                   SUM(CASE WHEN num_value_change_updates = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS num_entities_no_updates,
+                   ROUND(AVG(num_value_changes), 3) AS avg_value_changes,
+                   ROUND(AVG(num_value_change_creates), 3) AS avg_value_change_creates,
+                   ROUND(AVG(num_value_change_deletes), 3) AS avg_value_change_deletes,
+                   ROUND(AVG(num_value_change_updates), 3) AS avg_value_change_updates,
+                   SUM(num_rank_changes)::BIGINT AS total_rank_changes,
+                   SUM(num_qualifier_changes)::BIGINT AS total_qualifier_changes,
+                   SUM(num_reference_changes)::BIGINT AS total_reference_changes,
+                   SUM(num_bot_edits)::BIGINT AS total_bot_edits,
+                   SUM(num_anonymous_edits)::BIGINT AS total_anonymous_edits,
+                   SUM(num_human_edits)::BIGINT AS total_human_edits,
+                   ROUND(AVG(num_revisions), 3) AS avg_revisions_per_entity,
+                   MIN(num_revisions)::BIGINT AS min_revisions,
+                   MAX(num_revisions)::BIGINT AS max_revisions
+            FROM {rp('entity_stats')}
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_kg_oracles(),
         "dedup_exact_docs": """
             SELECT doc_id, lang, source, n_chars FROM (
               SELECT doc_id, lang, source, n_chars,

@@ -15,6 +15,7 @@ malformed) entity-JSON snapshot string, mirroring the reference's revision
 """
 from __future__ import annotations
 
+import hashlib
 import html
 import json
 import random
@@ -51,6 +52,38 @@ def _ts(i: int) -> str:
     return (_BASE_TS + timedelta(minutes=7 * i)).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _expected_user_type(username: str) -> str:
+    """The M7 user-type spec ('bot' substring -> bot; empty -> anonymous;
+    else human) restated independently in the generator so the expectation is
+    ground truth by specification, not by engine import."""
+    if "bot" in username.lower():
+        return "bot"
+    if username == "":
+        return "anonymous"
+    return "human"
+
+
+# datatype-metadata keys per generated value kind: every datavalue key that is
+# not a value field (reference: scripts/page_parser.py:263-271). The generator
+# only emits these fixed shapes, so the metadata key set is known a priori.
+_MD_KEYS_BY_TYPE = {
+    "time": ("precision", "calendarmodel"),
+    "quantity": ("unit",),
+    "globecoordinate": ("precision", "globe"),
+}
+
+# feature-table routing per datavalue type for same-datatype UPDATEs
+# (reference: scripts/page_parser.py feature routing / sql/features_schema.sql)
+_FEATURE_TABLE_BY_TYPE = {
+    "string": "features_text",
+    "monolingualtext": "features_text",
+    "wikibase-entityid": "features_entity",
+    "time": "features_time",
+    "quantity": "features_quantity",
+    "globecoordinate": "features_globecoordinate",
+}
+
+
 class EntitySim:
     """Simulates one entity's revision history and records the expected
     change rows for every edit operation it applies."""
@@ -70,8 +103,12 @@ class EntitySim:
         self.expected_value_changes: list[dict] = []
         self.expected_qualifier_changes: list[dict] = []
         self.expected_reference_changes: list[dict] = []
+        self.expected_metadata_changes: list[dict] = []
+        self.expected_features: list[dict] = []
         self.expected_revisions: list[dict] = []
         self._stmt_counter = 0
+        self._last_stored_rev = -1
+        self._last_nonempty_label = ""
 
     # ---- snapshot plumbing ----
     def _entity_json(self) -> dict:
@@ -119,11 +156,24 @@ class EntitySim:
         })
         self.offset += 1
         if stored and not deleted:
-            self.expected_revisions.append({"revision_id": rev_id, "timestamp": ts})
+            uname = username.strip()
+            self.expected_revisions.append({
+                "prev_revision_id": self._last_stored_rev,
+                "revision_id": rev_id,
+                "entity_id": int(self.qid[1:]),
+                "timestamp": ts,
+                "user_id": str(user_id).strip(),
+                "username": uname,
+                "user_type": _expected_user_type(uname),
+                "comment": comment.strip(),
+            })
+            self._last_stored_rev = rev_id
         return rev_id, ts
 
     def snapshot_revision(self, **kw):
         """Emit the current entity state as a revision span."""
+        if self.label:
+            self._last_nonempty_label = self.label
         return self.push_revision(json.dumps(self._entity_json(), ensure_ascii=False), **kw)
 
     # ---- value constructors ----
@@ -239,6 +289,22 @@ class EntitySim:
             "action": action,
         })
 
+    def _expect_metadata(self, rev_id, pid, value_id, datavalue, action):
+        """Statement CREATE/DELETE (outside first-revision/cleaned expansion)
+        expands datatype metadata one row per key; monolingualtext 'language'
+        routes to value_change instead and is expected separately."""
+        for key in _MD_KEYS_BY_TYPE.get((datavalue or {}).get("type"), ()):
+            self.expected_metadata_changes.append({
+                "revision_id": rev_id, "property_id": int(pid[1:]),
+                "value_id": value_id, "change_target": key, "action": action,
+            })
+
+    def _expect_feature(self, rev_id, pid_int, value_id, table):
+        self.expected_features.append({
+            "revision_id": rev_id, "property_id": pid_int,
+            "value_id": value_id, "table": table,
+        })
+
     # ---- edit operations (each applies the edit AND records expectations) ----
     def op_create_entity(self, type_qids, n_statements=2, label="Entity", desc="a thing", **kw):
         """First revision: P31 types + a few statements + label + description."""
@@ -278,6 +344,8 @@ class EntitySim:
         if stmt["mainsnak"].get("datavalue", {}).get("type") == "monolingualtext":
             # mono 'language' metadata routes into value_change on statement create
             self._expect_value(rev_id, pid, stmt["id"], "language", "CREATE")
+        self._expect_metadata(rev_id, pid, stmt["id"],
+                              stmt["mainsnak"].get("datavalue"), "CREATE")
         self._expect_value(rev_id, pid, stmt["id"], "rank", "CREATE")
         if with_qualifier:
             self._expect_qual(rev_id, pid, stmt["id"], qpid, "CREATE")
@@ -310,6 +378,10 @@ class EntitySim:
         stmt["mainsnak"]["hash"] = f"wdh{self.rng.randrange(10**9)}"
         rev_id, _ = self.snapshot_revision(**kw)
         self._expect_value(rev_id, pid, stmt["id"], "", "UPDATE")
+        # same-datatype UPDATE -> one feature row in the per-datatype table
+        table = _FEATURE_TABLE_BY_TYPE.get(old_dv["type"])
+        if table:
+            self._expect_feature(rev_id, int(pid[1:]), stmt["id"], table)
         return rev_id, pid, stmt, old_dv
 
     def op_delete_statement(self, pid=None, stmt=None, **kw):
@@ -325,12 +397,16 @@ class EntitySim:
         self._expect_value(rev_id, pid, stmt["id"], "", "DELETE")
         if stmt["mainsnak"].get("datavalue", {}).get("type") == "monolingualtext":
             self._expect_value(rev_id, pid, stmt["id"], "language", "DELETE")
+        self._expect_metadata(rev_id, pid, stmt["id"],
+                              stmt["mainsnak"].get("datavalue"), "DELETE")
         self._expect_value(rev_id, pid, stmt["id"], "rank", "DELETE")
-        for qpid in (stmt.get("qualifiers") or {}):
-            self._expect_qual(rev_id, pid, stmt["id"], qpid, "DELETE")
+        for qpid, snaks in (stmt.get("qualifiers") or {}).items():
+            for _ in snaks:  # one DELETE per snak (engine keys by value hash)
+                self._expect_qual(rev_id, pid, stmt["id"], qpid, "DELETE")
         for ref in (stmt.get("references") or []):
-            for rpid in ref["snaks"]:
-                self._expect_ref(rev_id, pid, stmt["id"], rpid, "DELETE")
+            for rpid, snaks in ref["snaks"].items():
+                for _ in snaks:
+                    self._expect_ref(rev_id, pid, stmt["id"], rpid, "DELETE")
         return rev_id, pid, stmt
 
     def op_rank_change(self, new_rank=None, **kw):
@@ -351,7 +427,15 @@ class EntitySim:
         if stmt is None:
             return None
         qpid = qpid or f"P{self.rng.randint(500, 520)}"
-        datavalue = datavalue or self.rand_time_value()
+        if datavalue is None:
+            # avoid a canonical-value collision with an existing snak of the
+            # same qualifier property: the engine dedups snaks by value hash,
+            # so a duplicate would make the expectation over-count
+            existing = {json.dumps(s["datavalue"], sort_keys=True)
+                        for s in (stmt.get("qualifiers") or {}).get(qpid, [])}
+            datavalue = self.rand_time_value()
+            while json.dumps(datavalue, sort_keys=True) in existing:
+                datavalue = self.rand_time_value()
         stmt.setdefault("qualifiers", {}).setdefault(qpid, []).append(
             self.make_qualifier(qpid, datavalue))
         rev_id, _ = self.snapshot_revision(**kw)
@@ -365,11 +449,12 @@ class EntitySim:
             return None
         pid, stmt = self.rng.choice(cands)
         qpid = self.rng.choice(list(stmt["qualifiers"].keys()))
-        stmt["qualifiers"].pop(qpid)
+        removed = stmt["qualifiers"].pop(qpid)
         if not stmt["qualifiers"]:
             stmt.pop("qualifiers")
         rev_id, _ = self.snapshot_revision(**kw)
-        self._expect_qual(rev_id, pid, stmt["id"], qpid, "DELETE")
+        for _ in removed:  # one DELETE per removed snak
+            self._expect_qual(rev_id, pid, stmt["id"], qpid, "DELETE")
         return rev_id, pid, stmt, qpid
 
     def op_add_reference(self, **kw):
@@ -377,8 +462,16 @@ class EntitySim:
         if stmt is None:
             return None
         rpid = self.rng.choice(["P143", "P854", "P248"])
+        # avoid a reference whose canonical snak set duplicates an existing
+        # one on this statement (engine keys references by content hash)
+        existing = {json.dumps([(p, s["datavalue"]) for p, sl in r["snaks"].items()
+                                for s in sl], sort_keys=True)
+                    for r in (stmt.get("references") or [])}
+        dv = self.rand_entity_value()
+        while json.dumps([(rpid, dv)], sort_keys=True) in existing:
+            dv = self.rand_entity_value()
         stmt.setdefault("references", []).append(
-            self.make_reference([(rpid, self.rand_entity_value())]))
+            self.make_reference([(rpid, dv)]))
         rev_id, _ = self.snapshot_revision(**kw)
         self._expect_ref(rev_id, pid, stmt["id"], rpid, "CREATE")
         return rev_id, pid, stmt
@@ -392,6 +485,9 @@ class EntitySim:
         rev_id, _ = self.snapshot_revision(**kw)
         action = "UPDATE" if old and new_label else ("CREATE" if new_label else "DELETE")
         self._expect_value(rev_id, -1, "label", "", action)
+        if action == "UPDATE":
+            # label diffs are 'string'-datatype UPDATEs -> features_text row
+            self._expect_feature(rev_id, -1, "label", "features_text")
         return rev_id
 
     def op_description_change(self, new_desc, **kw):
@@ -403,6 +499,8 @@ class EntitySim:
         rev_id, _ = self.snapshot_revision(**kw)
         action = "UPDATE" if old and new_desc else ("CREATE" if new_desc else "DELETE")
         self._expect_value(rev_id, -2, "description", "", action)
+        if action == "UPDATE":
+            self._expect_feature(rev_id, -2, "description", "features_text")
         return rev_id
 
     def op_alias_only_revision(self, **kw):
@@ -426,6 +524,85 @@ class EntitySim:
         rev_id, _ = self.push_revision(body, **kw)
         return rev_id
 
+    # ---- end-of-history expectations (ground truth by construction) ----
+    def expected_stats(self, sa_types=None, ao_types=None, less_threshold=10):
+        """The entity_stats row this history must produce under the default
+        DiffConfig (revert counters excluded — revert detection is a separate
+        engine pass the generator does not model)."""
+        sa_types = set(sa_types or SA_TYPES)
+        ao_types = set(ao_types or AO_TYPES)
+        vc = self.expected_value_changes
+        md = self.expected_metadata_changes
+        revs = self.expected_revisions
+
+        def count(rows, target=None, action=None):
+            return sum(1 for e in rows
+                       if (target is None or e.get("change_target", "") == target)
+                       and (action is None or e["action"] == action))
+
+        final_types = sorted({s["mainsnak"]["datavalue"]["value"]["id"]
+                              for s in self.claims.get("P31", [])})
+        num_value_changes = count(vc, target="")
+        is_sa = any(t in sa_types for t in final_types)
+        is_ao = any(t in ao_types for t in final_types)
+        has_less = (not is_sa and not is_ao
+                    and num_value_changes <= less_threshold)
+        return {
+            "entity_id": int(self.qid[1:]),
+            "entity_label": self._last_nonempty_label,
+            "entity_types_31": ", ".join(final_types),
+            "num_revisions": len(revs),
+            "num_value_changes": num_value_changes,
+            "num_value_change_creates": count(vc, "", "CREATE"),
+            "num_value_change_deletes": count(vc, "", "DELETE"),
+            "num_value_change_updates": count(vc, "", "UPDATE"),
+            "num_rank_changes": count(vc, "rank"),
+            "num_rank_creates": count(vc, "rank", "CREATE"),
+            "num_rank_deletes": count(vc, "rank", "DELETE"),
+            "num_rank_updates": count(vc, "rank", "UPDATE"),
+            "num_qualifier_changes": len(self.expected_qualifier_changes),
+            "num_reference_changes": len(self.expected_reference_changes),
+            "num_datatype_metadata_changes": len(md),
+            "num_datatype_metadata_creates": count(md, action="CREATE"),
+            "num_datatype_metadata_deletes": count(md, action="DELETE"),
+            "num_datatype_metadata_updates": count(md, action="UPDATE"),
+            "first_revision_timestamp": revs[0]["timestamp"] if revs else None,
+            "last_revision_timestamp": revs[-1]["timestamp"] if revs else None,
+            "num_bot_edits": sum(1 for r in revs if r["user_type"] == "bot"),
+            "num_anonymous_edits": sum(1 for r in revs if r["user_type"] == "anonymous"),
+            "num_human_edits": sum(1 for r in revs if r["user_type"] == "human"),
+            "is_scholarly_article": is_sa,
+            "is_astronomical_object": is_ao,
+            "has_less_revisions": has_less,
+        }
+
+    def expected_triples(self):
+        """The CURRENT (subj, pred, value_id) triples after replaying the full
+        change history — i.e. the generator's final claim state."""
+        eid = int(self.qid[1:])
+        rows = [{"subj": eid, "pred": int(pid[1:]), "value_id": s["id"]}
+                for pid, stmts in self.claims.items() for s in stmts]
+        if self.label:
+            rows.append({"subj": eid, "pred": -1, "value_id": "label"})
+        if self.description:
+            rows.append({"subj": eid, "pred": -2, "value_id": "description"})
+        return rows
+
+    def expected_doc_spans(self):
+        """Span-sequence lineage rows (the north-rule per-row invariant:
+        kind, text identity, media_ref, order)."""
+        eid = int(self.qid[1:])
+        rows = []
+        for idx, span in enumerate(self.spans):
+            t = span["text"] or ""
+            rows.append({
+                "doc_id": self.qid, "entity_id": eid, "span_index": idx,
+                "kind": span["kind"], "offset": span["offset"],
+                "media_ref": span["media_ref"] or "",
+                "text_sha1": hashlib.sha1(t.encode("utf-8")).hexdigest() if t else "",
+            })
+        return rows
+
     def op_cleaned(self, **kw):
         """Fully-empty snapshot: expect DELETEs for everything."""
         old_claims = self.claims
@@ -436,11 +613,13 @@ class EntitySim:
             for s in stmts:
                 self._expect_value(rev_id, pid, s["id"], "", "DELETE")
                 self._expect_value(rev_id, pid, s["id"], "rank", "DELETE")
-                for qpid in (s.get("qualifiers") or {}):
-                    self._expect_qual(rev_id, pid, s["id"], qpid, "DELETE")
+                for qpid, snaks in (s.get("qualifiers") or {}).items():
+                    for _ in snaks:
+                        self._expect_qual(rev_id, pid, s["id"], qpid, "DELETE")
                 for ref in (s.get("references") or []):
-                    for rpid in ref["snaks"]:
-                        self._expect_ref(rev_id, pid, s["id"], rpid, "DELETE")
+                    for rpid, snaks in ref["snaks"].items():
+                        for _ in snaks:
+                            self._expect_ref(rev_id, pid, s["id"], rpid, "DELETE")
         if old_label:
             self._expect_value(rev_id, -1, "label", "", "DELETE")
         if old_desc:
@@ -511,28 +690,120 @@ def make_corpus(num_docs: int, seed: int = 42, hot_doc_revisions: int = 0,
         schema=DOCS_SCHEMA,
     )
     expectations = {
-        "value_change": [e for s in sims for e in s.expected_value_changes],
-        "qualifier_change": [e for s in sims for e in s.expected_qualifier_changes],
-        "reference_change": [e for s in sims for e in s.expected_reference_changes],
-        "revision": [dict(e, doc_id=s.qid) for s in sims for e in s.expected_revisions],
+        "value_change": [dict(e, entity_id=int(s.qid[1:])) for s in sims
+                         for e in s.expected_value_changes],
+        "qualifier_change": [dict(e, entity_id=int(s.qid[1:])) for s in sims
+                             for e in s.expected_qualifier_changes],
+        "reference_change": [dict(e, entity_id=int(s.qid[1:])) for s in sims
+                             for e in s.expected_reference_changes],
+        "datatype_metadata_change": [dict(e, entity_id=int(s.qid[1:])) for s in sims
+                                     for e in s.expected_metadata_changes],
+        "features": [dict(e, entity_id=int(s.qid[1:])) for s in sims
+                     for e in s.expected_features],
+        "revision": [dict(e, doc_id=s.qid,
+                          entity_label=s._last_nonempty_label)
+                     for s in sims for e in s.expected_revisions],
+        "entity_stats": [s.expected_stats() for s in sims],
+        "graph_triples": [e for s in sims for e in s.expected_triples()],
+        "doc_spans": [e for s in sims for e in s.expected_doc_spans()],
         "spans": {s.qid: s.spans for s in sims},
     }
     return table, expectations
 
 
+# typed parquet schemas for the persisted expectation tables — column types
+# pinned to the engine's Arrow output types so a DuckDB read of these files
+# compares cleanly against the Ray pipeline results
+_EXPECT_SCHEMAS = {
+    "value_change": pa.schema([
+        ("revision_id", pa.int64()), ("property_id", pa.int32()),
+        ("value_id", pa.string()), ("change_target", pa.string()),
+        ("action", pa.string()), ("entity_id", pa.int64())]),
+    "qualifier_change": pa.schema([
+        ("revision_id", pa.int64()), ("property_id", pa.int32()),
+        ("value_id", pa.string()), ("qual_property_id", pa.int32()),
+        ("action", pa.string()), ("entity_id", pa.int64())]),
+    "reference_change": pa.schema([
+        ("revision_id", pa.int64()), ("property_id", pa.int32()),
+        ("value_id", pa.string()), ("ref_property_id", pa.int32()),
+        ("action", pa.string()), ("entity_id", pa.int64())]),
+    "datatype_metadata_change": pa.schema([
+        ("revision_id", pa.int64()), ("property_id", pa.int32()),
+        ("value_id", pa.string()), ("change_target", pa.string()),
+        ("action", pa.string()), ("entity_id", pa.int64())]),
+    "features": pa.schema([
+        ("revision_id", pa.int64()), ("property_id", pa.int32()),
+        ("value_id", pa.string()), ("table", pa.string()),
+        ("entity_id", pa.int64())]),
+    "revision": pa.schema([
+        ("prev_revision_id", pa.int64()), ("revision_id", pa.int64()),
+        ("entity_id", pa.int64()), ("timestamp", pa.string()),
+        ("user_id", pa.string()), ("username", pa.string()),
+        ("user_type", pa.string()), ("comment", pa.string()),
+        ("doc_id", pa.string()), ("entity_label", pa.string())]),
+    "entity_stats": pa.schema(
+        [("entity_id", pa.int64()), ("entity_label", pa.string()),
+         ("entity_types_31", pa.string())]
+        + [(c, pa.int64()) for c in (
+            "num_revisions", "num_value_changes", "num_value_change_creates",
+            "num_value_change_deletes", "num_value_change_updates",
+            "num_rank_changes", "num_rank_creates", "num_rank_deletes",
+            "num_rank_updates", "num_qualifier_changes",
+            "num_reference_changes", "num_datatype_metadata_changes",
+            "num_datatype_metadata_creates", "num_datatype_metadata_deletes",
+            "num_datatype_metadata_updates")]
+        + [("first_revision_timestamp", pa.string()),
+           ("last_revision_timestamp", pa.string()),
+           ("num_bot_edits", pa.int64()), ("num_anonymous_edits", pa.int64()),
+           ("num_human_edits", pa.int64()),
+           ("is_scholarly_article", pa.bool_()),
+           ("is_astronomical_object", pa.bool_()),
+           ("has_less_revisions", pa.bool_())]),
+    "graph_triples": pa.schema([
+        ("subj", pa.int64()), ("pred", pa.int32()), ("value_id", pa.string())]),
+    "doc_spans": pa.schema([
+        ("doc_id", pa.string()), ("entity_id", pa.int64()),
+        ("span_index", pa.int32()), ("kind", pa.string()),
+        ("offset", pa.int32()), ("media_ref", pa.string()),
+        ("text_sha1", pa.string())]),
+}
+
+
+def write_expectations(expect_dir: str, expectations: dict) -> str:
+    """Persist the construction-time ground-truth tables as typed parquet —
+    the DuckDB side of the driver's oracle comparison reads these files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(expect_dir, exist_ok=True)
+    for name, schema in _EXPECT_SCHEMAS.items():
+        rows = expectations.get(name, [])
+        t = pa.Table.from_pylist(
+            [{f: r.get(f) for f in schema.names} for r in rows], schema=schema)
+        pq.write_table(t, os.path.join(expect_dir, f"{name}.parquet"))
+    return expect_dir
+
+
 def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
-                         n_shards: int | None = None, **kw) -> str:
+                         n_shards: int | None = None,
+                         expect_dir: str | None = None, **kw) -> str:
     """Materialize a corpus to parquet; returns the path.
 
     With n_shards (or when num_docs is large) writes a DIRECTORY of shard
     files with small row groups — the physical shape a web-scale corpus has,
     and what lets Ray parallelize the read (one 25MB single-row-group file
-    yields ~1 input block no matter how many cores you have)."""
+    yields ~1 input block no matter how many cores you have).
+
+    With expect_dir, the construction-time ground-truth tables are persisted
+    there as typed parquet (the oracle side of the driver comparison)."""
     import os
 
     import pyarrow.parquet as pq
 
-    table, _ = make_corpus(num_docs, seed=seed, **kw)
+    table, expectations = make_corpus(num_docs, seed=seed, **kw)
+    if expect_dir:
+        write_expectations(expect_dir, expectations)
     if n_shards is None:
         # power-of-two shard counts divide typical block counts (2x cores)
         # evenly, so no task gets 1.5x the files of another
