@@ -354,22 +354,50 @@ def _round_cols(ds, cols, digits: int = 3):
 # rows-only operator queries (not SQL-expressible)
 # --------------------------------------------------------------------------
 
-def _q_minhash_dedup(sf_dir: str):
+def _derived_dedup_docs(sf_dir: str, clone_mode: str):
+    """Deterministic near-dup corpus derived from the documents table, with a
+    SQL-decidable survivor set: every doc gets a unique token stream; ids
+    ending in 0 get a clone (near: last token perturbed, Jaccard ~0.88;
+    exact: verbatim copy) that must be dropped; ids ending in 5 get a far
+    clone (disjoint tokens) that must survive."""
     import ray.data
 
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def expand(batch):
+        import pyarrow as pa
+
+        out_id, out_text = [], []
+        for d in batch.column("doc_id").to_pylist():
+            toks = [f"w{d}x{i}" for i in range(48)]
+            out_id.append(d)
+            out_text.append(" ".join(toks))
+            if d % 10 == 0:
+                out_id.append(d + 10_000_000)
+                out_text.append(" ".join(toks[:-1] + ["zz"])
+                                if clone_mode == "near" else " ".join(toks))
+            if d % 10 == 5:
+                out_id.append(d + 20_000_000)
+                out_text.append(" ".join(f"f{d}x{i}" for i in range(48)))
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "text": pa.array(out_text, type=pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def _q_minhash_dedup(sf_dir: str):
     from wikidata_edit_history_ray.stages.dedup_ops import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_dedup(ds).select_columns(["doc_id", "lang", "source"])
+    ds = _derived_dedup_docs(sf_dir, "near")
+    return minhash_lsh_dedup(ds).select_columns(["doc_id"])
 
 
 def _q_simhash_dedup(sf_dir: str):
-    import ray.data
-
     from wikidata_edit_history_ray.stages.dedup_ops import simhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dedup(ds).select_columns(["doc_id", "lang", "source"])
+    ds = _derived_dedup_docs(sf_dir, "exact")
+    return simhash_dedup(ds).select_columns(["doc_id"])
 
 
 def _q_embedding_dedup(sf_dir: str):
@@ -377,8 +405,26 @@ def _q_embedding_dedup(sf_dir: str):
 
     from wikidata_edit_history_ray.stages.dedup_ops import embedding_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup(ds).select_columns(["vec_id", "label"])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def clone(batch):
+        import pyarrow as pa
+
+        ids = batch.column("vec_id").to_pylist()
+        vecs = batch.column("embedding").to_pylist()
+        out_id, out_vec = list(ids), list(vecs)
+        for i, v in zip(ids, vecs):
+            if i % 10 == 0:  # exact duplicate vector, higher id -> dropped
+                out_id.append(i + 10_000_000)
+                out_vec.append(v)
+        return pa.table({"vec_id": pa.array(out_id, type=pa.int64()),
+                         "embedding": pa.array(
+                             out_vec, type=batch.column("embedding").type)})
+
+    derived = ds.map_batches(clone, batch_format="pyarrow")
+    return embedding_dedup(derived, cosine_threshold=0.999) \
+        .select_columns(["vec_id"])
 
 
 def _q_text_analysis(sf_dir: str):
@@ -401,10 +447,15 @@ def _q_media_features(sf_dir: str):
     n = max(20, _corpus_docs_for(sf_dir) // 10)
     t = make_media_table([f"media://img/{i:06d}.png" for i in range(n)])
     return extract_media_features(ray.data.from_arrow(t), batch_size=16,
-                                  concurrency=2)
+                                  concurrency=2) \
+        .select_columns(["media_ref", "media_type", "width", "height",
+                         "duration_ms", "decoded_width", "decoded_height"])
 
 
 def _q_ivf_topk(sf_dir: str):
+    """Full-probe IVF (nprobe == n_centroids) must equal the exact result —
+    that is the oracle configuration; partial-probe recall is pytest-covered
+    (tests/test_ops.py)."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
@@ -414,7 +465,7 @@ def _q_ivf_topk(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
     q = np.array(first.column("embedding").to_pylist(), dtype=np.float32)
-    return ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4) \
+    return ivf_topk(ds, q, k=10, n_centroids=8, nprobe=8) \
         .select_columns(["query_idx", "vec_id"])
 
 
@@ -778,6 +829,46 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars)::BIGINT AS min_chars,
                    MAX(n_chars)::BIGINT AS max_chars
             FROM documents GROUP BY lang, source
+        """,
+        "minhash_dedup_docs": """
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id FROM documents
+            WHERE doc_id % 10 = 5
+        """,
+        "simhash_dedup_docs": """
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id FROM documents
+            WHERE doc_id % 10 = 5
+        """,
+        "embedding_dedup": """
+            SELECT vec_id FROM embeddings
+        """,
+        "media_features": f"""
+            SELECT 'media://img/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.png'
+                       AS media_ref,
+                   'image' AS media_type,
+                   CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+                   CAST(0 AS INTEGER) AS duration_ms,
+                   CAST(32 AS INTEGER) AS decoded_width,
+                   CAST(32 AS INTEGER) AS decoded_height
+            FROM range({max(20, _corpus_docs_for('/root/testdata/sf0.01') // 10)}) t(i)
+        """,
+        "ivf_topk": """
+            WITH q AS (
+              SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS query_idx,
+                     embedding AS qv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)
+            ), scored AS (
+              SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS score,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_idx
+                                        ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                                 e.vec_id) AS rk
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_idx, vec_id FROM scored WHERE rk <= 10
         """,
         "knn_topk": """
             WITH q AS (

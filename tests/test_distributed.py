@@ -1,0 +1,96 @@
+"""Distributed anti-join / broadcast primitives + dedup skew behavior."""
+import numpy as np
+import pyarrow as pa
+
+
+class TestFilterOutIds:
+    def _mk(self, n=1000):
+        import ray.data
+
+        t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                      "text": [f"t{i}" for i in range(n)]})
+        drops = pa.table({"drop_id": pa.array(range(0, n, 3), type=pa.int64())})
+        return ray.data.from_arrow(t), ray.data.from_arrow(drops)
+
+    def test_broadcast_path(self, ray_session):
+        from wikidata_edit_history_ray.stages.distributed import filter_out_ids
+
+        ds, drops = self._mk()
+        out = filter_out_ids(ds, drops, "doc_id")
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        assert ids == [i for i in range(1000) if i % 3 != 0]
+
+    def test_shuffle_path_matches_broadcast(self, ray_session):
+        from wikidata_edit_history_ray.stages.distributed import filter_out_ids
+
+        ds, drops = self._mk()
+        out = filter_out_ids(ds, drops, "doc_id", broadcast_limit=0)
+        rows = out.take_all()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [i for i in range(1000) if i % 3 != 0]
+        # full rows survive the shuffle path intact
+        by_id = {r["doc_id"]: r["text"] for r in rows}
+        assert by_id[1] == "t1" and by_id[998] == "t998"
+
+    def test_string_ids_shuffle_path(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.distributed import filter_out_ids
+
+        t = pa.table({"k": [f"id{i}" for i in range(50)]})
+        d = pa.table({"drop_id": [f"id{i}" for i in range(0, 50, 2)]})
+        out = filter_out_ids(ray.data.from_arrow(t), ray.data.from_arrow(d),
+                             "k", broadcast_limit=0)
+        assert sorted(r["k"] for r in out.take_all()) == \
+            sorted(f"id{i}" for i in range(1, 50, 2))
+
+
+class TestDedupSkew:
+    def test_minhash_hot_bucket(self, ray_session):
+        """One LSH bucket with thousands of members (identical docs) — the
+        pipeline must collapse them to the min-id survivor without the driver
+        ever holding the drop set (no take_all in the dedup path)."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import minhash_lsh_dedup
+
+        n = 3000
+        hot = "the same hot document text repeated verbatim across the corpus"
+        texts = [hot] * n + [f"unique doc {i} with its own words w{i}a w{i}b w{i}c"
+                             for i in range(20)]
+        ids = list(range(n + 20))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+        out = minhash_lsh_dedup(ray.data.from_arrow(t, override_num_blocks=8))
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == [0] + list(range(n, n + 20))
+
+    def test_simhash_hot_bucket(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import simhash_dedup
+
+        n = 2000
+        hot = " ".join(f"tok{i}" for i in range(40))
+        texts = [hot] * n + [" ".join(f"u{j}x{i}" for i in range(40))
+                             for j in range(10)]
+        ids = list(range(n + 10))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+        out = simhash_dedup(ray.data.from_arrow(t, override_num_blocks=8))
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == [0] + list(range(n, n + 10))
+
+    def test_embedding_multi_table_recall(self, ray_session):
+        """Identical vectors collapse regardless of which LSH table buckets
+        them; distinct vectors survive."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import embedding_dedup
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(50, 16).astype(np.float32)
+        vecs = list(base) + [base[i] for i in range(0, 50, 5)]
+        ids = list(range(50)) + [100 + i for i in range(0, 50, 5)]
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": [v.tolist() for v in vecs]})
+        out = embedding_dedup(ray.data.from_arrow(t), cosine_threshold=0.999)
+        assert sorted(r["vec_id"] for r in out.take_all()) == list(range(50))

@@ -63,9 +63,19 @@ class TestMinhashSimhash:
         near = base.replace("token5 ", "tok5 ")
         distinct = " ".join(f"other{i}" for i in range(60))
         t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, distinct]})
-        out = simhash_dedup(ray.data.from_arrow(t), max_hamming=8)
+        out = simhash_dedup(ray.data.from_arrow(t), max_hamming=7)
         ids = sorted(r["doc_id"] for r in out.take_all())
         assert ids == [1, 3]
+
+    def test_simhash_rejects_hamming_beyond_pigeonhole(self, ray_session):
+        import pytest
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import simhash_dedup
+
+        t = pa.table({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError):
+            simhash_dedup(ray.data.from_arrow(t), max_hamming=8)
 
     def test_ngram_jaccard(self):
         from wikidata_edit_history_ray.stages.dedup_ops import ngram_jaccard

@@ -1,15 +1,19 @@
 """Deduplication operators for training-data pipelines.
 
 - exact_dedup:      hash-partitioned keep-first on a content hash
-- minhash_lsh_dedup: shingle -> minhash -> LSH band buckets -> per-bucket
-                     verify; groupby shuffles only (band, band_hash) keys
-- simhash_dedup:    64-bit simhash, bucketed by rotated prefixes
+- minhash_lsh_dedup: shingle -> minhash -> slim LSH band-bucket rows ->
+                     candidate edges -> exact n-gram Jaccard verify ->
+                     distributed anti-join filter
+- simhash_dedup:    64-bit simhash, pigeonhole block buckets, exact Hamming
+                    verify, distributed anti-join filter
 - ngram_jaccard:    exact n-gram Jaccard verification for candidate pairs
-- embedding_dedup:  cosine near-dup over an embedding column (bucket via
-                    random-hyperplane LSH, verify by exact cosine)
+- embedding_dedup:  cosine near-dup over an embedding column (multi-table
+                    random-hyperplane LSH, exact cosine verify, anti-join)
 
-All shuffles move only (key, id, sketch) columns — never full text — so at
-100 TB the exchange volume is the sketch table, not the corpus.
+All shuffles move only (key, id, sketch) columns — never full text — and no
+path materializes ids on the driver (stages/distributed.py carries the drop
+set as object-store block refs or a hash-partitioned anti-join), so at 100 TB
+the exchange volume is the sketch table and the driver heap stays flat.
 """
 from __future__ import annotations
 
@@ -103,7 +107,9 @@ class MinHasher:
 
 
 class MinHashStage:
-    """map_batches actor: adds minhash signature + per-band bucket keys."""
+    """map_batches stage: SLIM per-band bucket rows (id, bucket) only — the
+    full signature never rides the shuffle (round 1 shipped it 16x; candidate
+    pairs are verified by exact n-gram Jaccard on fetched text instead)."""
 
     def __init__(self, num_perm=64, shingle_size=3, bands=16, text_col="text",
                  id_col="doc_id"):
@@ -115,82 +121,103 @@ class MinHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into `bands` rows of (id, minhash, bucket) — one
-        row per LSH band — so candidate generation across ALL bands is a
-        SINGLE groupby shuffle on `bucket`, not one shuffle per band."""
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
-        sigs = np.stack([self.hasher.signature(t) for t in texts]) if texts else \
-            np.zeros((0, self.hasher.num_perm), dtype=np.int64)
-        out_ids, out_sigs, out_buckets = [], [], []
+        out_ids, out_buckets = [], []
         for i, doc_id in enumerate(ids):
-            sig = sigs[i]
+            sig = self.hasher.signature(texts[i])
             for band in range(self.bands):
                 seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
                 out_ids.append(doc_id)
-                out_sigs.append(sig.tolist())
                 out_buckets.append(
                     f"{band}:{hashlib.sha1(seg.tobytes()).hexdigest()[:16]}")
         return pa.table({
             self.id_col: pa.array(out_ids),
-            "minhash": pa.array(out_sigs, type=pa.list_(pa.int64())),
             "bucket": pa.array(out_buckets, type=pa.string()),
         })
 
 
+def _coarse_from_bucket_str(batch: pa.Table, buckets: int = 64) -> pa.Table:
+    keys = batch.column("bucket").to_pylist()
+    coarse = np.fromiter((int(k.split(":", 1)[1][:8], 16) % buckets for k in keys),
+                         dtype=np.int64, count=len(keys))
+    return batch.append_column("_coarse", pa.array(coarse, type=pa.int64()))
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.8, concurrency=None):
-    """Near-dup removal: docs sharing any LSH band bucket whose signature
-    Jaccard >= threshold collapse to the min-id survivor.
+                      jaccard_threshold: float = 0.8, shingle_size: int = 3,
+                      max_compare: int = 4, concurrency=None):
+    """Near-dup removal: a doc is dropped when it shares an LSH band bucket
+    with an earlier-id doc whose EXACT n-gram Jaccard >= threshold.
 
-    Shuffle shape: ONE groupby over the exploded (bucket, id, signature)
-    sketch table — bands are encoded into the bucket key, so the exchange
-    moves bands x (id + signature) bytes, never document text; verification
-    happens inside each bucket group; the surviving-id set filters the
-    original dataset in a final broadcast pass.
+    100-TB shape, three shuffle-light passes over slim tables:
+    1. sketch pass: slim (id, band-bucket) rows -> ONE groupby shuffle ->
+       per-bucket candidate edges (member, one of its `max_compare` earliest
+       bucket peers) — no signatures, no text, no all-pairs blowup.
+    2. verify pass: candidate texts fetched via a filtered scan (the
+       candidate set is the dup-rate-sized minority), broadcast once per
+       worker, edges verified with exact ngram_jaccard — crisper semantics
+       than round 1's signature estimate.
+    3. filter pass: distributed anti-join of the drop ids
+       (stages/distributed.filter_out_ids — no driver materialization).
     """
-    # instance => task-based stage (tiny permutation state ships per task;
-    # avoids an actor pool reserving CPUs away from the groupby shuffle)
+    from .distributed import _get_broadcast_table, fetch_rows_by_ids, filter_out_ids
+
     sig_ds = ds.map_batches(
-        MinHashStage(num_perm=num_perm, bands=bands, text_col=text_col,
-                     id_col=id_col),
+        MinHashStage(num_perm=num_perm, shingle_size=shingle_size, bands=bands,
+                     text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
 
-    def coarse_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch.column("bucket").to_pylist()
-        coarse = np.fromiter((int(k.split(":", 1)[1][:8], 16) % 64 for k in keys),
-                             dtype=np.int64, count=len(keys))
-        return batch.append_column("_coarse", pa.array(coarse, type=pa.int64()))
-
-    def bucket_losers(group):
-        """Per coarse partition: for every LSH bucket inside it, verify
-        signature-level Jaccard of each member against the min-id
-        representative; emit ids to drop. One pandas pass over the partition,
-        not one task per bucket."""
+    def bucket_edges(group):
+        """Per coarse partition: emit (cand_a=earlier peer, cand_b=member)
+        edges per LSH bucket, capped at max_compare peers per member."""
         import pandas as pd
 
-        drops = []
+        a_out, b_out = [], []
         g = group.sort_values(["bucket", id_col])
         for _, bucket in g.groupby("bucket", sort=False):
             if len(bucket) < 2:
                 continue
-            sigs = np.stack(bucket["minhash"].to_numpy())
             ids = bucket[id_col].to_numpy()
-            sim = (sigs[1:] == sigs[0]).mean(axis=1)
-            drops.extend(ids[1:][sim >= jaccard_threshold])
-        return pd.DataFrame({"drop_id": drops}).astype(
-            {"drop_id": group[id_col].dtype})
+            for j in range(1, len(ids)):
+                for i in range(max(0, j - max_compare), j):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pd.DataFrame({"cand_a": a_out, "cand_b": b_out}).astype(
+            {"cand_a": group[id_col].dtype, "cand_b": group[id_col].dtype})
 
-    drops = sig_ds.map_batches(coarse_bucket, batch_format="pyarrow") \
-        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
-    drop_ids = set(r["drop_id"] for r in drops.take_all())
+    edges = sig_ds.map_batches(_coarse_from_bucket_str, batch_format="pyarrow") \
+        .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas") \
+        .materialize()
 
-    def filter_dropped(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in drop_ids for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+    if edges.count() == 0:
+        return ds
 
-    return ds.map_batches(filter_dropped, batch_format="pyarrow")
+    import ray.data
+
+    cand_ids = edges.map_batches(
+        lambda b: pa.table({id_col: pa.array(
+            b.column("cand_a").to_pylist() + b.column("cand_b").to_pylist(),
+            type=b.column("cand_a").type)}),
+        batch_format="pyarrow")
+    text_refs = fetch_rows_by_ids(ds, cand_ids, id_col,
+                                  columns=[id_col, text_col])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = _get_broadcast_table(text_refs)
+        texts = dict(zip(t.column(id_col).to_pylist(),
+                         t.column(text_col).to_pylist()))
+        drops = []
+        for a, b in zip(batch.column("cand_a").to_pylist(),
+                        batch.column("cand_b").to_pylist()):
+            if ngram_jaccard(texts.get(a), texts.get(b),
+                             n=shingle_size) >= jaccard_threshold:
+                drops.append(b)
+        return pa.table({"drop_id": pa.array(drops, type=batch.column("cand_b").type)})
+
+    drop_ds = edges.map_batches(verify, batch_format="pyarrow")
+    return filter_out_ids(ds, drop_ds, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -246,13 +273,20 @@ def _explode_simhash_blocks(batch: pa.Table, text_col: str, id_col: str,
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_compare: int = 8):
     """Near-dup removal by simhash: block-key buckets propose candidates in
-    one groupby shuffle, exact Hamming distance verifies. Block count adapts
-    to the Hamming budget (n_blocks = max_hamming + 1, pigeonhole guarantee);
-    wider budgets mean shorter block keys => bigger buckets, the usual recall
-    vs shuffle-fanout tradeoff."""
-    n_blocks = min(8, max_hamming + 1)
+    one groupby shuffle, exact Hamming distance verifies (each member vs its
+    `max_compare` earliest bucket peers, not just the min-id representative).
+    Block count = max_hamming + 1 gives the pigeonhole guarantee; Hamming
+    budgets beyond 7 are rejected rather than silently losing recall.
+    Drop ids filter via distributed anti-join (no driver materialization)."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming}: >7 would need >8 blocks and the "
+            "64-bit simhash block keys would lose the pigeonhole guarantee")
+    from .distributed import filter_out_ids
+
+    n_blocks = max_hamming + 1
     slim = ds.map_batches(
         lambda b: _explode_simhash_blocks(b, text_col, id_col, n_blocks),
         batch_format="pyarrow")
@@ -271,21 +305,18 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 continue
             hashes = bucket["simhash"].to_numpy().astype(np.uint64)
             ids = bucket[id_col].to_numpy()
-            x = hashes[1:] ^ hashes[0]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            drops.extend(ids[1:][dist <= max_hamming])
+            for j in range(1, len(ids)):
+                lo = max(0, j - max_compare)
+                x = hashes[lo:j] ^ hashes[j]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                if (dist <= max_hamming).any():
+                    drops.append(ids[j])
         return pd.DataFrame({"drop_id": drops}).astype(
             {"drop_id": group[id_col].dtype})
 
-    drops = slim.map_batches(coarse, batch_format="pyarrow") \
+    drop_ds = slim.map_batches(coarse, batch_format="pyarrow") \
         .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
-    drop_ids = set(r["drop_id"] for r in drops.take_all())
-
-    def filter_dropped(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in drop_ids for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(filter_dropped, batch_format="pyarrow")
+    return filter_out_ids(ds, drop_ds, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -312,20 +343,44 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     cosine_threshold: float = 0.95, num_planes: int = 12,
-                    seed: int = 7):
-    """Near-dup over an embedding column: random-hyperplane LSH buckets, exact
-    cosine verify per bucket, keep min-id."""
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-        if vecs.size == 0:
-            return batch.append_column("lsh_bucket", pa.array([], type=pa.int64()))
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], num_planes).astype(np.float32)
-        bits = (vecs @ planes) > 0
-        keys = bits.dot(1 << np.arange(num_planes)).astype(np.int64)
-        return batch.append_column("lsh_bucket", pa.array(keys, type=pa.int64()))
+                    num_tables: int = 2, max_compare: int = 8, seed: int = 7):
+    """Near-dup over an embedding column: random-hyperplane LSH buckets
+    (`num_tables` independent hyperplane sets — multi-probe, recovering the
+    recall a single table loses at bucket boundaries), exact cosine verify of
+    each member against its `max_compare` earliest bucket peers, drop ids
+    filtered via distributed anti-join.
 
-    bds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    Shuffle volume: (id, vec, bucket) per table row — the vector ships
+    num_tables times; acceptable because the sketch table is the only thing
+    shuffled, never joined back row-wise."""
+    from .distributed import filter_out_ids
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        ids = batch.column(id_col)
+        if vecs.size == 0:
+            return pa.table({id_col: ids,
+                             vec_col: batch.column(vec_col),
+                             "lsh_bucket": pa.array([], type=pa.int64())})
+        out_id, out_vec, out_bucket = [], [], []
+        id_list = ids.to_pylist()
+        vec_list = batch.column(vec_col).to_pylist()
+        for t in range(num_tables):
+            rng = np.random.RandomState(seed + 1000 * t)
+            planes = rng.randn(vecs.shape[1], num_planes).astype(np.float32)
+            bits = (vecs @ planes) > 0
+            keys = bits.dot(1 << np.arange(num_planes)).astype(np.int64)
+            keys = keys + (t << num_planes)  # table id in the high bits
+            out_id.extend(id_list)
+            out_vec.extend(vec_list)
+            out_bucket.extend(keys.tolist())
+        return pa.table({id_col: pa.array(out_id, type=ids.type),
+                         vec_col: pa.array(out_vec,
+                                           type=batch.column(vec_col).type),
+                         "lsh_bucket": pa.array(out_bucket, type=pa.int64())})
+
+    bds = ds.select_columns([id_col, vec_col]).map_batches(
+        add_buckets, batch_format="pyarrow")
 
     def coarse(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch.column("lsh_bucket").to_pylist(), dtype=np.int64)
@@ -344,18 +399,14 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             norms[norms == 0] = 1.0
             vecs = vecs / norms[:, None]
             ids = bucket[id_col].to_numpy()
-            sims = vecs[1:] @ vecs[0]
-            drops.extend(ids[1:][sims >= cosine_threshold])
+            for j in range(1, len(ids)):
+                lo = max(0, j - max_compare)
+                sims = vecs[lo:j] @ vecs[j]
+                if (sims >= cosine_threshold).any():
+                    drops.append(ids[j])
         return pd.DataFrame({"drop_id": drops}).astype(
             {"drop_id": group[id_col].dtype})
 
-    drops = bds.select_columns([id_col, vec_col, "lsh_bucket"]) \
-        .map_batches(coarse, batch_format="pyarrow") \
+    drop_ds = bds.map_batches(coarse, batch_format="pyarrow") \
         .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
-    drop_ids = set(r["drop_id"] for r in drops.take_all())
-
-    def filter_dropped(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in drop_ids for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(filter_dropped, batch_format="pyarrow")
+    return filter_out_ids(ds, drop_ds, id_col)

@@ -115,12 +115,37 @@ class IVFIndex:
         return assign
 
 
+def _deterministic_sample(ds, id_col: str, sample_size: int):
+    """Unbiased deterministic training sample: keep rows whose stable id hash
+    falls under the sampling rate (NOT ds.limit(), which takes the FIRST rows
+    and biases centroids on any sorted/clustered input)."""
+    import hashlib
+
+    total = ds.count()
+    if total <= sample_size:
+        return ds.take_all()
+    rate = min(1.0, (2.0 * sample_size) / total)
+    cutoff = int(rate * 0xFFFFFFFF)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([
+            int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:4],
+                           "little") <= cutoff for v in ids])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow") \
+        .limit(sample_size).take_all()
+
+
 def ivf_topk(ds, query_matrix, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 2000):
-    """IVF approximate top-k: train centroids on a sample, filter to the nprobe
-    nearest cells per query union, then exact top-k within the probed subset."""
-    sample = ds.limit(sample_size).take_all()
+    """IVF approximate top-k: train centroids on a deterministic random
+    sample, filter to the nprobe nearest cells per query union, then exact
+    top-k within the probed subset. nprobe == n_centroids degenerates to the
+    exact result (the oracle configuration)."""
+    sample = _deterministic_sample(ds, id_col, sample_size)
     sample_vecs = np.array([r[vec_col] for r in sample], dtype=np.float32)
     C = IVFIndex.train_centroids(sample_vecs, n_centroids)
     assign = IVFIndex.assign_stage(C)
