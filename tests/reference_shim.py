@@ -166,9 +166,11 @@ REFERENCE_SET_UP = {
 
 
 def run_reference_page_parser(doc_id: str, spans, property_labels=None,
-                              sa_types=None, ao_types=None, workdir=None):
+                              sa_types=None, ao_types=None, workdir=None,
+                              set_up=None):
     """Execute the reference PageParser on one document; returns its result
-    dict of per-table tuple lists."""
+    dict of per-table tuple lists. `set_up` overrides the default
+    REFERENCE_SET_UP (e.g. asymmetric per-class change_extraction_filters)."""
     import os
 
     install_reference_shims()
@@ -183,7 +185,7 @@ def run_reference_page_parser(doc_id: str, spans, property_labels=None,
         parser = PageParser(
             file_path="",
             page_elem_str=xml,
-            set_up=REFERENCE_SET_UP,
+            set_up=set_up or REFERENCE_SET_UP,
             property_labels=property_labels or {},
             astronomical_object_types=set(ao_types or ()),
             scholarly_article_types=set(sa_types or ()),
@@ -191,3 +193,29 @@ def run_reference_page_parser(doc_id: str, spans, property_labels=None,
         return parser.process_page()
     finally:
         os.chdir(cwd)
+
+
+def reference_write_gates(change_extraction_filters: dict, is_sa: bool,
+                          is_ao: bool, has_less: bool):
+    """Replicate the reference db_writer routing + batch_insert gates
+    (scripts/db_writer.py:16-49, 146-155: _ao overrides _sa) so a test can
+    compute which tables the reference would PERSIST for a page."""
+    cf = change_extraction_filters
+    if is_ao:
+        name = "astronomical_objects_filter"
+    elif is_sa:
+        name = "scholarly_articles_filter"
+    elif has_less:
+        name = "less_filter"
+    else:
+        name = "rest"
+    f = cf.get(name, {})
+    if name == "rest":
+        extract = True
+        feats = bool(f.get("feature_extraction", False))
+    else:
+        extract = bool(f.get("extract", False))
+        feats = extract and bool(f.get("feature_extraction", False))
+    md = (bool(f.get("datatype_metadata_extraction", False))
+          and (extract if name != "rest" else True))
+    return extract, feats, md

@@ -9,6 +9,18 @@ class TestLevenshtein:
         assert F.levenshtein_distance("abc", "abc") == 0
         assert F.levenshtein_distance("flaw", "lawn") == 2
 
+    def test_known_answers_pin_shared_oracle(self):
+        """The conformance shim feeds this SAME implementation to the
+        reference as its Levenshtein module — these independent known-answer
+        cases keep a shared bug from passing conformance undetected."""
+        assert F.levenshtein_distance("saturday", "sunday") == 3
+        assert F.levenshtein_distance("intention", "execution") == 5
+        assert F.levenshtein_distance("gumbo", "gambol") == 2
+        assert F.levenshtein_distance("a" * 40, "a" * 39 + "b") == 1
+        assert F.levenshtein_distance("abcdefghij", "jihgfedcba") == 10
+        assert F.levenshtein_distance("Ünïcødé", "Unicode") == 4
+        assert F.levenshtein_distance("x" * 100, "") == 100
+
     def test_edit_operations_backtrace(self):
         ins, dels, subs = F._edit_operations("kitten", "sitting")
         assert (ins, dels, subs) == (1, 0, 2)

@@ -70,8 +70,23 @@ from .values import (
 _TIME_PAD_RE = re.compile(r"^([+-])0+(?=\d{4}-)")
 
 
+_CLASS_FILTER_NAMES = ("scholarly_articles_filter", "astronomical_objects_filter",
+                       "less_filter", "rest")
+
+
 class DiffConfig:
-    """Engine configuration mirroring the reference's setup.yml semantics."""
+    """Engine configuration mirroring the reference's setup.yml semantics.
+
+    `class_filters` is the faithful per-entity-class surface
+    (setup.yml:11-27): a dict with keys scholarly_articles_filter /
+    astronomical_objects_filter / less_filter / rest, each carrying
+    `extract` / `feature_extraction` / `datatype_metadata_extraction`
+    (less_filter also `threshold`). When provided it OVERRIDES the global
+    extract_features / extract_datatype_metadata booleans: parse-time
+    collection uses the OR across classes (scripts/page_parser.py:34-60) and
+    the write stage applies the per-class gates (scripts/db_writer.py:16-49),
+    via `write_gates()`.
+    """
 
     def __init__(
         self,
@@ -85,6 +100,7 @@ class DiffConfig:
         extract_astronomical_objects: bool = True,
         extract_less: bool = True,
         max_spans_per_doc: int | None = None,
+        class_filters: dict | None = None,
     ):
         self.language = language
         self.re_interpretation = re_interpretation
@@ -100,12 +116,57 @@ class DiffConfig:
         # not fit a worker heap is routed to the errors table instead of
         # OOM-killing the task; None = unlimited
         self.max_spans_per_doc = max_spans_per_doc
+        self.class_filters = class_filters
+        if class_filters:
+            cf = class_filters
+
+            def g(name, key):
+                return bool(cf.get(name, {}).get(key, False))
+
+            def cls_on(name, key):
+                # a class contributes only if it is extracted at all;
+                # 'rest' is extracted by default (scripts/page_parser.py:36-49)
+                if name == "rest":
+                    return g(name, key)
+                return g(name, key) and g(name, "extract")
+
+            self.extract_datatype_metadata = any(
+                cls_on(n, "datatype_metadata_extraction")
+                for n in _CLASS_FILTER_NAMES)
+            self.extract_features = any(
+                cls_on(n, "feature_extraction") for n in _CLASS_FILTER_NAMES)
+            thr = cf.get("less_filter", {}).get("threshold")
+            if thr is not None:
+                self.less_changes_threshold = thr
+
+    def write_gates(self, is_sa: bool, is_ao: bool, has_less: bool):
+        """(keep_doc, keep_features, keep_metadata) for a doc's routing class
+        — the write-time analog of the reference's batch_insert gates
+        (scripts/db_writer.py:16-49; routing priority :146-155, where _ao
+        overrides _sa). Without class_filters, the global booleans apply."""
+        if not self.class_filters:
+            return True, self.extract_features, self.extract_datatype_metadata
+        if is_ao:
+            name = "astronomical_objects_filter"
+        elif is_sa:
+            name = "scholarly_articles_filter"
+        elif has_less:
+            name = "less_filter"
+        else:
+            name = "rest"
+        f = self.class_filters.get(name, {})
+        keep = True if name == "rest" else bool(f.get("extract", False))
+        feats = keep and bool(f.get("feature_extraction", False))
+        md = keep and bool(f.get("datatype_metadata_extraction", False))
+        return keep, feats, md
 
     @classmethod
     def from_dict(cls, d: dict) -> "DiffConfig":
         return cls(**d) if d else cls()
 
     def to_dict(self) -> dict:
+        # round-trips through from_dict: __init__ re-derives the effective OR
+        # gates from class_filters when present
         return dict(self.__dict__)
 
 

@@ -15,6 +15,7 @@ scripts/feature_creation.py:1061); we record the combined (1, 1) flags.
 """
 from __future__ import annotations
 
+import calendar
 import re
 from datetime import datetime
 
@@ -112,7 +113,10 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list, time_threshold:
                         if c.get("old_value", "") != "{}" else "")
             news.append(str(c.get("new_value", "")).strip()
                         if c.get("new_value", "") != "{}" else "")
-            epochs.append(_parse_timestamp(c["timestamp"]).timestamp())
+            # TZ-independent epoch: naive datetime.timestamp() would read the
+            # machine's local timezone and shift pairs straddling a DST jump
+            # by +-3600s vs the reference's naive (dt2-dt1).total_seconds()
+            epochs.append(calendar.timegm(_parse_timestamp(c["timestamp"]).timetuple()))
         # candidate futures for current i must satisfy news[j] == olds[i]
         # (direct / trailing) or news[j] == '' with olds[j] == news[i]
         # (create case) — anything else can never pass check_revert, so a

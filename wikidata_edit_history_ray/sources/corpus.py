@@ -811,6 +811,8 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
         while n_shards < 512 and num_docs // (n_shards * 2) >= 300:
             n_shards *= 2
     if n_shards <= 1:
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
         pq.write_table(table, path, row_group_size=200)
         return path
     os.makedirs(path, exist_ok=True)

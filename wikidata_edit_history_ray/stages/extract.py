@@ -131,9 +131,20 @@ class ChangeExtractor:
             except Exception as e:  # poison doc: route to error table, keep going
                 errors.append((doc_id, f"{type(e).__name__}: {e}"))
                 continue
+            # per-class write gates (setup.yml semantics; the batch_insert
+            # analog — scripts/db_writer.py:16-49)
+            keep, keep_feats, keep_md = self.differ.cfg.write_gates(
+                out["is_scholarly_article"], out["is_astronomical_object"],
+                out["has_less_revisions"])
+            if not keep:
+                continue
             flag = (doc_id, out["is_scholarly_article"],
                     out["is_astronomical_object"], out["has_less_revisions"])
             for t in TABLE_COLS:
+                if not keep_feats and t.startswith("features_"):
+                    continue
+                if not keep_md and t == "datatype_metadata_change":
+                    continue
                 rows = out[t]
                 if rows:
                     buf[t].extend(rows)
@@ -152,6 +163,16 @@ class ChangeExtractor:
                 [pa.array([e[0] for e in errors], type=pa.string()),
                  pa.array([e[1] for e in errors], type=pa.string())],
                 schema=ERRORS_SCHEMA)
+        if errors:
+            # single-table mode has no errors sink; surface the loss instead
+            # of silently dropping poison/wide docs (use emit='errors' or the
+            # multi-sink pipeline to persist them)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ChangeExtractor(emit=%r): %d doc(s) skipped with errors "
+                "(first: %s) — errors only persist in multi-sink mode",
+                self.emit, len(errors), errors[0])
         return tables[self.emit]
 
 
@@ -185,8 +206,13 @@ class MultiSinkExtractor(ChangeExtractor):
         rows = []
         for spec in batch.to_pylist():
             path, rg, num_rows = spec["file"], spec["row_group"], spec["num_rows"]
+            # content signal (file size) in the fingerprint: regenerating an
+            # input in place with the same name/row-group layout but different
+            # contents must NOT silently reuse stale partition outputs
+            fsize = os.path.getsize(path)
             fingerprint = hashlib.sha1(
-                f"{os.path.basename(path)}:{rg}:{num_rows}".encode()).hexdigest()[:16]
+                f"{os.path.basename(path)}:{rg}:{num_rows}:{fsize}"
+                .encode()).hexdigest()[:16]
             part_id = f"part-{fingerprint}"
             manifest_dir = os.path.join(self.output_dir, "_manifest")
             manifest_path = os.path.join(manifest_dir, f"{part_id}.json")
