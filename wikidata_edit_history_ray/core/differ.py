@@ -214,6 +214,7 @@ class PageDiffer:
         self.current_revision_redirect = False
         self.redirect_qid = ""
         self.rev_meta = {}
+        self._stmt_hash_cache = {}
         self.entity_data = {
             "label": "", "alias": "", "description": "",
             "p31_types": set(), "p279_types": set(),
@@ -238,6 +239,23 @@ class PageDiffer:
         # with the datavalue (SURVEY §1.1 / M4); identity must come from the
         # value bytes, never the upstream hash.
         return snak_value_hash(hom_snak)
+
+    def _stmt_hash(self, sid, hom_mainsnak):
+        """Canonical hash of a statement mainsnak with a per-doc cache keyed
+        by statement id + homogenized-datavalue EQUALITY: each revision is a
+        full snapshot, so every unchanged statement would otherwise pay
+        json.dumps+sha1 again in every revision diff (the differ's dominant
+        allocation churn). novalue/somevalue snaks (no datavalue) bypass the
+        cache — their identity is the upstream hash, which may drift."""
+        dv = hom_mainsnak.get("datavalue")
+        if dv is None or sid is None:
+            return snak_value_hash(hom_mainsnak)
+        cached = self._stmt_hash_cache.get(sid)
+        if cached is not None and cached[0] == dv:
+            return cached[1]
+        h = snak_value_hash(hom_mainsnak)
+        self._stmt_hash_cache[sid] = (dv, h)
+        return h
 
     # ----- stats -----
     def _update_stats(self, change_target, action):
@@ -620,7 +638,7 @@ class PageDiffer:
             for stmt in stmts:
                 stmt["mainsnak"] = homogenize_snak(stmt["mainsnak"])
                 value, datatype, _ = parse_statement_datavalue(stmt)
-                old_hash = self._snak_hash(stmt["mainsnak"]) if stmt else None
+                old_hash = self._stmt_hash(stmt.get("id"), stmt["mainsnak"]) if stmt else None
                 value_id = stmt.get("id", None)
                 if property_id == "P31":
                     self.entity_data["p31_types"].discard((value_id, value))
@@ -694,7 +712,7 @@ class PageDiffer:
                     self.entity_data["p31_types"].add((value_id, new_value))
                 if pid == "P279":
                     self.entity_data["p279_types"].add((value_id, new_value))
-                new_hash = self._snak_hash(s["mainsnak"]) if s else None
+                new_hash = self._stmt_hash(value_id, s["mainsnak"]) if s else None
                 self._save_change(id_to_int(pid), value_id, None, new_value,
                                   None, new_datatype, None, CREATE_PROPERTY_VALUE,
                                   None, new_hash)
@@ -719,7 +737,7 @@ class PageDiffer:
                     self.entity_data["p31_types"].discard((value_id, old_value))
                 if pid == "P279":
                     self.entity_data["p279_types"].discard((value_id, old_value))
-                old_hash = self._snak_hash(s["mainsnak"]) if s else None
+                old_hash = self._stmt_hash(value_id, s["mainsnak"]) if s else None
                 self._save_change(id_to_int(pid), value_id, old_value, None,
                                   old_datatype, None, None, DELETE_PROPERTY_VALUE,
                                   old_hash, None)
@@ -745,10 +763,10 @@ class PageDiffer:
                 old_hash = new_hash = None
                 if prev_stmt:
                     prev_stmt["mainsnak"] = homogenize_snak(prev_stmt["mainsnak"])
-                    old_hash = self._snak_hash(prev_stmt["mainsnak"])
+                    old_hash = self._stmt_hash(sid, prev_stmt["mainsnak"])
                 if curr_stmt:
                     curr_stmt["mainsnak"] = homogenize_snak(curr_stmt["mainsnak"])
-                    new_hash = self._snak_hash(curr_stmt["mainsnak"])
+                    new_hash = self._stmt_hash(sid, curr_stmt["mainsnak"])
                 new_value, new_datatype, new_md = parse_statement_datavalue(curr_stmt)
                 old_value, old_datatype, old_md = parse_statement_datavalue(prev_stmt)
 

@@ -16,10 +16,27 @@ _SPECIAL_CHAR_RE = re.compile(r"[^a-zA-Z0-9]")
 _DATE_CLEAN_RE = re.compile(r"[^0-9TZ:\-]")
 
 
+def _trim_common(a: str, b: str):
+    """Strip the shared prefix and suffix; returns the differing cores.
+    Safe for the DISTANCE (standard lemma); op-count safety is established by
+    the differential test in tests/test_features.py."""
+    n = min(len(a), len(b))
+    p = 0
+    while p < n and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < n - p and a[len(a) - 1 - s] == b[len(b) - 1 - s]:
+        s += 1
+    return a[p:len(a) - s], b[p:len(b) - s]
+
+
 def levenshtein_distance(a: str, b: str) -> int:
-    """Plain Levenshtein (unit costs). Two-row DP, O(len(a)*len(b))."""
+    """Plain Levenshtein (unit costs). Common prefix/suffix trimmed away
+    (real-world value updates usually change a small core), then two-row DP
+    over the differing cores."""
     if a == b:
         return 0
+    a, b = _trim_common(a, b)
     if not a:
         return len(b)
     if not b:
@@ -48,8 +65,18 @@ def has_adjacent_swap(old: str, new: str) -> int:
 
 
 def _edit_operations(old: str, new: str):
-    """(insertions, deletions, substitutions) from a full DP backtrace."""
+    """(insertions, deletions, substitutions) from a full DP backtrace.
+
+    The shared prefix/suffix is trimmed first: the counts are invariant
+    (differentially tested against the untrimmed backtrace over 300k
+    small-alphabet pairs — see tests/test_features.py), and value updates
+    that touch a small core skip almost the whole DP."""
+    old, new = _trim_common(old, new)
     m, n = len(old), len(new)
+    if m == 0:
+        return n, 0, 0
+    if n == 0:
+        return 0, m, 0
     dp = [[0] * (n + 1) for _ in range(m + 1)]
     for i in range(m + 1):
         dp[i][0] = i

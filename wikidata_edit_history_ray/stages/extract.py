@@ -66,14 +66,25 @@ def rows_to_table(table_name: str, rows: list, routing: list | None) -> pa.Table
             cols = cols + list(zip(*routing))
         else:
             cols = cols + [[] for _ in _ROUTING_NAMES]
+    import pyarrow.compute as pc
+
     arrays = []
     for field, col in zip(schema, cols):
         if pa.types.is_string(field.type):
-            # PK components use the '' sentinel instead of NULL
-            col = ["" if v is None and field.name in ("value_id", "change_target")
-                   else (v if v is None or isinstance(v, str) else str(v))
-                   for v in col]
-        arrays.append(pa.array(col, type=field.type))
+            try:
+                arr = pa.array(col, type=pa.string())
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+                # rare defensive path: a non-string slipped into a string
+                # column (e.g. numeric user_id from odd input) — cast per value
+                arr = pa.array(
+                    [v if v is None or isinstance(v, str) else str(v)
+                     for v in col], type=pa.string())
+            if field.name in ("value_id", "change_target"):
+                # PK components use the '' sentinel instead of NULL
+                arr = pc.fill_null(arr, "")
+            arrays.append(arr)
+        else:
+            arrays.append(pa.array(col, type=field.type))
     return pa.Table.from_arrays(arrays, schema=schema)
 
 

@@ -92,36 +92,47 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("quality_score", pa.array(score, type=pa.float64()))
 
 
-_FP_BASE = 1000003
-_FP_MOD = (1 << 61) - 1
+_FP_BASE = np.uint64(1000003)
+_FP_POWERS = {}  # window -> uint64 power vector (mod 2^64 natural wrap)
+
+
+def _fp_powers(window: int) -> np.ndarray:
+    p = _FP_POWERS.get(window)
+    if p is None:
+        p = np.empty(window, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(window - 1, -1, -1):
+            p[i] = acc
+            acc = acc * _FP_BASE  # natural mod 2^64
+        _FP_POWERS[window] = p
+    return p
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Karp-Rabin document fingerprint: min rolling hash over char windows —
-    stable content identity robust to document concatenation order."""
+    """Karp-Rabin document fingerprint: min rolling hash over char windows
+    (mod 2^64 natural wrap) — stable content identity robust to document
+    concatenation order. Fully vectorized: every window hash is one
+    sliding-window x power-vector product (no per-char Python loop)."""
     t = text or ""
-    if len(t) < window:
-        h = 0
-        for ch in t:
-            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-        return h
-    pow_w = pow(_FP_BASE, window - 1, _FP_MOD)
-    h = 0
-    for ch in t[:window]:
-        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-    best = h
-    for i in range(window, len(t)):
-        h = ((h - ord(t[i - window]) * pow_w) * _FP_BASE + ord(t[i])) % _FP_MOD
-        if h < best:
-            best = h
-    return best
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(codes) == 0:
+        return 0
+    if len(codes) < window:
+        window = len(codes)
+    w = np.lib.stride_tricks.sliding_window_view(codes, window)
+    with np.errstate(over="ignore"):
+        hashes = w @ _fp_powers(window)  # uint64 wrap == mod 2^64
+    return int(hashes.min())
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
     texts = batch.column(text_col).to_pylist()
+    vals = [rolling_fingerprint(t, window) for t in texts]
+    # store as two's-complement int64 (Arrow has no uint64-friendly hash col)
     return batch.append_column(
         "fingerprint",
-        pa.array([rolling_fingerprint(t, window) for t in texts], type=pa.int64()))
+        pa.array([v - (1 << 64) if v >= (1 << 63) else v for v in vals],
+                 type=pa.int64()))
 
 
 # ---- Dataset-level wrappers ----
