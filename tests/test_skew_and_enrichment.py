@@ -87,3 +87,94 @@ class TestWideDocGuard:
         n_guarded = extract_table(ds, "entity_stats", config=cfg, concurrency=2).count()
         n_full = extract_table(ds, "entity_stats", concurrency=2).count()
         assert n_guarded == n_full - 2
+
+
+class TestEmbedderInjection:
+    def test_make_embedder_specs(self):
+        import numpy as np
+        import pytest
+
+        from wikidata_edit_history_ray.stages.enrich import (HashingEmbedder,
+                                                             make_embedder)
+
+        assert isinstance(make_embedder(None), HashingEmbedder)
+        assert make_embedder("hashing:32").dim == 32
+        class Fake:
+            def encode(self, texts, batch_size=512):
+                return np.zeros((len(texts), 4), dtype=np.float32)
+        f = Fake()
+        assert make_embedder(f) is f
+        assert isinstance(make_embedder(Fake), Fake)
+        # the real-model path needs sentence_transformers (absent here): the
+        # spec resolves to an ImportError, not a silent fallback
+        with pytest.raises(ImportError):
+            make_embedder("st:all-MiniLM-L6-v2")
+        with pytest.raises(ValueError):
+            make_embedder("nope")
+
+    def test_injected_embedder_drives_cosine(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.enrich import enrich_text_features
+        import pyarrow as pa
+
+        t = pa.table({"old_value": ['"a b"', '"x"'],
+                      "new_value": ['"a b"', '"y"'],
+                      "value_cosine_similarity": [0.0, 0.0]})
+
+        class Ones:
+            def encode(self, texts, batch_size=512):
+                return np.ones((len(texts), 3), dtype=np.float32) / np.sqrt(3)
+
+        out = enrich_text_features(ray.data.from_arrow(t),
+                                   embedder=Ones).take_all()
+        assert all(abs(r["value_cosine_similarity"] - 1.0) < 1e-6 for r in out)
+
+
+class TestPartitionedLabelJoin:
+    def test_matches_broadcast_path(self, ray_session, tmp_path):
+        """The hash-partitioned label join produces IDENTICAL output to the
+        broadcast-dict path on the same (larger-than-usual) label table."""
+        import ray.data
+
+        from wikidata_edit_history_ray.pipelines.kg import extract_table
+        from wikidata_edit_history_ray.sources.corpus import (AO_TYPES,
+                                                              SA_TYPES,
+                                                              make_corpus)
+        from wikidata_edit_history_ray.stages.enrich import (
+            enrich_entity_features, enrich_entity_features_partitioned,
+            partition_entity_labels)
+
+        docs, _ = make_corpus(40, seed=17)
+        fe = extract_table(ray.data.from_arrow(docs), "features_entity",
+                           sa_types=set(SA_TYPES), ao_types=set(AO_TYPES))
+        fe = fe.materialize()
+        # labels for every qid the corpus can reference (plus a hole every
+        # 13th so the miss path is exercised too)
+        labels = {f"Q{i}": (f"label {i}", f"desc {i}")
+                  for i in range(1, 100000) if i % 13}
+        ldir = partition_entity_labels(labels, str(tmp_path / "labels"),
+                                       buckets=8)
+
+        key = ["revision_id", "property_id", "value_id"]
+        cols = key + ["old_value_label", "new_value_label",
+                      "old_value_description", "new_value_description",
+                      "is_link_change", "label_cosine_similarity",
+                      "edit_distance_ratio"]
+
+        via_bcast = enrich_entity_features(fe, entity_labels=labels,
+                                           concurrency=2) \
+            .select_columns(cols).take_all()
+        via_part = enrich_entity_features_partitioned(fe, ldir, buckets=8) \
+            .select_columns(cols).take_all()
+        assert len(via_bcast) == len(via_part) > 0
+
+        def norm(rows):
+            return sorted((tuple(round(v, 9) if isinstance(v, float) else v
+                                 for v in (r[c] for c in cols)))
+                          for r in rows)
+
+        assert norm(via_bcast) == norm(via_part)
+        # sanity: some labels actually resolved (join did something)
+        assert any(r["old_value_label"] for r in via_part)

@@ -68,3 +68,20 @@ class TestXmlIngest:
         p = str(tmp_path / "d.xml")
         open(p, "w").write(xml)
         assert read_xml_dump(p).num_rows == 0
+
+    def test_chunked_ingest_splits_giant_file(self, ray_session, tmp_path):
+        """Sub-file chunking: a single dump file yields multiple Arrow chunks
+        (the single-giant-dump parallelism story) with no rows lost."""
+        from wikidata_edit_history_ray.sources.xml_ingest import (
+            ingest_dumps, read_xml_dump_chunked)
+
+        sims = _sims(9, seed=31)
+        p = str(tmp_path / "big.xml")
+        open(p, "w", encoding="utf-8").write(_dump_xml_for(sims))
+        chunks = list(read_xml_dump_chunked(p, max_docs_per_chunk=4))
+        assert [c.num_rows for c in chunks] == [4, 4, 1]
+        ds = ingest_dumps([p], output_dir=str(tmp_path / "o"),
+                          max_docs_per_chunk=4)
+        rows = ds.take_all()
+        assert len(rows) == 9
+        assert len(os.listdir(str(tmp_path / "o"))) == 3  # one shard per chunk

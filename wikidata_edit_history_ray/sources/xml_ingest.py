@@ -93,21 +93,52 @@ def read_xml_dump(path: str) -> pa.Table:
                                 schema=DOCS_SCHEMA)
 
 
-def ingest_dumps(paths, output_dir: str | None = None):
+def read_xml_dump_chunked(path: str, max_docs_per_chunk: int = 2000):
+    """One dump file -> iterator of docs Arrow tables. Sub-file chunking is
+    the parallelism story for a single giant dump: each yielded chunk becomes
+    its own downstream block, so one 100 GB file does not serialize the whole
+    pipeline behind one task's output."""
+    doc_ids, spans_col = [], []
+    for doc_id, spans in iter_pages(path):
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+        if len(doc_ids) >= max_docs_per_chunk:
+            yield pa.Table.from_pydict(
+                {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+            doc_ids, spans_col = [], []
+    if doc_ids:
+        yield pa.Table.from_pydict(
+            {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+
+
+def ingest_dumps(paths, output_dir: str | None = None,
+                 max_docs_per_chunk: int = 2000):
     """Dump file list -> docs Dataset with file-level parallelism; optionally
-    persists the sharded doc-span table (one parquet shard per dump file)."""
+    persists the sharded doc-span table (one parquet shard per dump file).
+
+    Arrow-native: each task yields Arrow chunk tables directly (a generator
+    from map_batches — Ray streams each yielded table out as a block), never
+    materializing per-row Python dicts. bz2 decompression is inherently
+    serial per file, so cross-FILE fan-out is the scaling axis; within a
+    file, chunked yields bound peak memory and pipeline the downstream."""
     import ray.data
 
-    def one_file(row):
-        table = read_xml_dump(row["path"])
-        if output_dir:
-            import pyarrow.parquet as pq
+    def one_file(batch: pa.Table):
+        for p in batch.column("path").to_pylist():
+            shard_idx = 0
+            for chunk in read_xml_dump_chunked(p, max_docs_per_chunk):
+                if output_dir:
+                    import pyarrow.parquet as pq
 
-            os.makedirs(output_dir, exist_ok=True)
-            stem = os.path.basename(row["path"]).split(".")[0]
-            pq.write_table(table, os.path.join(output_dir, f"{stem}.parquet"),
-                           row_group_size=100)
-        return table.to_pylist()
+                    os.makedirs(output_dir, exist_ok=True)
+                    stem = os.path.basename(p).split(".")[0]
+                    pq.write_table(
+                        chunk,
+                        os.path.join(output_dir,
+                                     f"{stem}-{shard_idx:05d}.parquet"),
+                        row_group_size=100)
+                shard_idx += 1
+                yield chunk
 
     paths_ds = ray.data.from_items([{"path": p} for p in paths])
-    return paths_ds.flat_map(one_file)
+    return paths_ds.map_batches(one_file, batch_size=1, batch_format="pyarrow")

@@ -45,6 +45,48 @@ class HashingEmbedder:
         return out / norms
 
 
+class SentenceTransformerEmbedder:
+    """ML1 with a real model (reference: SentenceTransformer
+    'all-MiniLM-L6-v2', GPU if available, encode batch 512 —
+    scripts/feature_creation.py:62, 87, 1248). The library is absent from
+    this container, so construction raises ImportError here; the spec string
+    plumbs through actor constructors unchanged, and on a cluster with the
+    package + `num_gpus` the same pipeline runs the real model."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2",
+                 batch_size: int = 512, device: str | None = None):
+        from sentence_transformers import SentenceTransformer  # ImportError here if absent
+
+        self.model = SentenceTransformer(model_name, device=device)
+        self.batch_size = batch_size
+
+    def encode(self, texts, batch_size: int | None = None) -> np.ndarray:
+        return np.asarray(self.model.encode(
+            list(texts), batch_size=batch_size or self.batch_size,
+            normalize_embeddings=True), dtype=np.float32)
+
+
+def make_embedder(spec=None):
+    """Resolve an embedder from a config spec — the injection point for ML1.
+
+    None / 'hashing' / 'hashing:<dim>' -> HashingEmbedder (container default);
+    'st:<model-name>' -> SentenceTransformerEmbedder; a class -> instantiated;
+    an object with .encode -> used as-is."""
+    if spec is None or spec == "hashing":
+        return HashingEmbedder()
+    if isinstance(spec, str):
+        if spec.startswith("hashing:"):
+            return HashingEmbedder(dim=int(spec.split(":", 1)[1]))
+        if spec.startswith("st:"):
+            return SentenceTransformerEmbedder(model_name=spec.split(":", 1)[1])
+        raise ValueError(f"unknown embedder spec: {spec!r}")
+    if isinstance(spec, type):
+        return spec()
+    if hasattr(spec, "encode"):
+        return spec
+    raise ValueError(f"unknown embedder spec: {spec!r}")
+
+
 def _pairwise_cosine(model, old_texts, new_texts) -> np.ndarray:
     a = model.encode(list(old_texts))
     b = model.encode(list(new_texts))
@@ -56,7 +98,7 @@ class TextFeatureEnricher:
     old/new value embeddings (reference: scripts/feature_creation.py:29-121)."""
 
     def __init__(self, embedder=None):
-        self.model = embedder() if isinstance(embedder, type) else (embedder or HashingEmbedder())
+        self.model = make_embedder(embedder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         old = [str(v).replace('"', "") for v in batch.column("old_value").to_pylist()]
@@ -74,7 +116,12 @@ class EntityFeatureEnricher:
     1320-1356, 1359-1466)."""
 
     def __init__(self, closure_dir: str | None = None, entity_labels=None,
-                 embedder=None, closure_cache=None):
+                 embedder=None, closure_cache=None,
+                 prefilled_labels: bool = False):
+        # prefilled_labels: the label/description columns were already filled
+        # by an upstream partitioned hash join (enrich_entity_features_partitioned)
+        # — skip the broadcast-dict lookup and read them from the batch
+        self.prefilled_labels = prefilled_labels
         if closure_cache is not None:
             self.closure = closure_cache if isinstance(closure_cache, TransitiveClosureCache) \
                 else TransitiveClosureCache(closure_cache)
@@ -91,7 +138,7 @@ class EntityFeatureEnricher:
         except ImportError:
             pass
         self.entity_labels = labels or {}  # {qid: (label, description)}
-        self.model = embedder() if isinstance(embedder, type) else (embedder or HashingEmbedder())
+        self.model = make_embedder(embedder)
 
     def _lookup(self, serialized_qid):
         q = str(serialized_qid).replace('"', "")
@@ -102,7 +149,13 @@ class EntityFeatureEnricher:
         new_vals = batch.column("new_value").to_pylist()
         n = len(old_vals)
 
-        old_labels, new_labels, old_descs, new_descs = [], [], [], []
+        if self.prefilled_labels:
+            old_labels = [v or "" for v in batch.column("old_value_label").to_pylist()]
+            new_labels = [v or "" for v in batch.column("new_value_label").to_pylist()]
+            old_descs = [v or "" for v in batch.column("old_value_description").to_pylist()]
+            new_descs = [v or "" for v in batch.column("new_value_description").to_pylist()]
+        else:
+            old_labels, new_labels, old_descs, new_descs = [], [], [], []
         closure_cols = {name: [] for name in (
             "old_value_subclass_new_value", "new_value_subclass_old_value",
             "old_value_located_in_new_value", "new_value_located_in_old_value",
@@ -113,13 +166,17 @@ class EntityFeatureEnricher:
             "complete_replacement")}
         is_link_change = []
 
-        for ov, nv in zip(old_vals, new_vals):
-            ol, od = self._lookup(ov)
-            nl, nd = self._lookup(nv)
-            old_labels.append(ol)
-            new_labels.append(nl)
-            old_descs.append(od)
-            new_descs.append(nd)
+        for idx, (ov, nv) in enumerate(zip(old_vals, new_vals)):
+            if self.prefilled_labels:
+                ol, od = old_labels[idx], old_descs[idx]
+                nl, nd = new_labels[idx], new_descs[idx]
+            else:
+                ol, od = self._lookup(ov)
+                nl, nd = self._lookup(nv)
+                old_labels.append(ol)
+                new_labels.append(nl)
+                old_descs.append(od)
+                new_descs.append(nd)
             t = F.create_text_features("entity", ol, nl)
             for name, v in zip(text_feats, t):
                 text_feats[name].append(v)
@@ -161,25 +218,169 @@ class EntityFeatureEnricher:
 
 
 def enrich_entity_features(ds, closure_dir=None, entity_labels=None,
-                           concurrency=None, batch_size: int = 4096):
+                           concurrency=None, batch_size: int = 4096,
+                           embedder=None, num_gpus=None):
     """features_entity Dataset -> enriched Dataset (actor pool: the closure
-    index + label dict load once per actor)."""
+    index + label dict + embedding model load once per actor).
+
+    `embedder` is a make_embedder() spec — e.g. 'st:all-MiniLM-L6-v2' with
+    num_gpus=1 reproduces the reference's GPU model configuration
+    (scripts/feature_creation.py:62, 87, 1248); the container default is the
+    deterministic HashingEmbedder."""
     import ray
 
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (1, max(2, ncpu // 2))
     labels_ref = ray.put(entity_labels or {})
+    kwargs = {}
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
     return ds.map_batches(
         EntityFeatureEnricher,
-        fn_constructor_kwargs=dict(closure_dir=closure_dir, entity_labels=labels_ref),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        fn_constructor_kwargs=dict(closure_dir=closure_dir,
+                                   entity_labels=labels_ref,
+                                   embedder=embedder),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        **kwargs)
 
 
-def enrich_text_features(ds, concurrency=None, batch_size: int = 4096):
+def enrich_text_features(ds, concurrency=None, batch_size: int = 4096,
+                         embedder=None, num_gpus=None):
     """features_text Dataset -> Dataset with value_cosine_similarity filled."""
+    kwargs = {}
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
     if concurrency:
-        return ds.map_batches(TextFeatureEnricher, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
-    return ds.map_batches(TextFeatureEnricher(), batch_format="pyarrow",
-                          batch_size=batch_size)
+        return ds.map_batches(TextFeatureEnricher,
+                              fn_constructor_kwargs=dict(embedder=embedder),
+                              batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              **kwargs)
+    return ds.map_batches(TextFeatureEnricher(embedder=embedder),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# J3 at scale: partitioned entity-label hash join.
+#
+# The broadcast-dict path above assumes the label dimension fits a worker
+# heap; full Wikidata has ~100M entity labels (reference loads them from a DB
+# table, scripts/feature_creation.py:1320-1356). Here the dimension is
+# hash-partitioned by QID once (a cheap one-time layout job), and each
+# enrichment pass co-partitions the FEATURE rows on the same hash so a task
+# ever holds exactly one label bucket — memory per task = dimension/buckets,
+# independent of total dimension size. Two passes (old side, new side: a row
+# probes two keys), then the standard enricher runs with prefilled labels.
+# ---------------------------------------------------------------------------
+
+_LABEL_BUCKET_CACHE: dict = {}
+
+
+def _qid_bucket(serialized_qid, buckets: int) -> int:
+    q = str(serialized_qid).replace('"', "")
+    d = hashlib.sha1(q.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "little") % buckets
+
+
+def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
+    """Lay the label dimension out as hash(qid)-partitioned parquet.
+
+    `labels`: {qid: (label, description)} dict or an Arrow table with columns
+    (qid, label, description). One file per bucket under out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if isinstance(labels, dict):
+        rows = [(q, v[0], v[1]) for q, v in labels.items()]
+    else:
+        rows = list(zip(labels.column("qid").to_pylist(),
+                        labels.column("label").to_pylist(),
+                        labels.column("description").to_pylist()))
+    os.makedirs(out_dir, exist_ok=True)
+    bucketed: dict = {b: [] for b in range(buckets)}
+    for q, lab, desc in rows:
+        bucketed[_qid_bucket(q, buckets)].append((q, lab or "", desc or ""))
+    for b, brows in bucketed.items():
+        t = pa.table({
+            "qid": pa.array([r[0] for r in brows], type=pa.string()),
+            "label": pa.array([r[1] for r in brows], type=pa.string()),
+            "description": pa.array([r[2] for r in brows], type=pa.string()),
+        })
+        pq.write_table(t, os.path.join(out_dir, f"labels-{b:05d}.parquet"))
+    return out_dir
+
+
+def _load_label_bucket(labels_dir: str, bucket: int) -> dict:
+    """{qid: (label, description)} for one bucket; cached per worker."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (labels_dir, bucket)
+    hit = _LABEL_BUCKET_CACHE.get(key)
+    if hit is None:
+        if len(_LABEL_BUCKET_CACHE) > 64:
+            _LABEL_BUCKET_CACHE.clear()
+        path = os.path.join(labels_dir, f"labels-{bucket:05d}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            hit = {q: (l, d) for q, l, d in zip(
+                t.column("qid").to_pylist(), t.column("label").to_pylist(),
+                t.column("description").to_pylist())}
+        else:
+            hit = {}
+        _LABEL_BUCKET_CACHE[key] = hit
+    return hit
+
+
+def _resolve_label_side(ds, labels_dir: str, buckets: int, side: str):
+    """Co-partition feature rows with the label dimension on hash(qid of
+    `side`) and fill that side's label/description columns per bucket."""
+    val_col = f"{side}_value"
+    label_col = f"{side}_value_label"
+    desc_col = f"{side}_value_description"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals = batch.column(val_col).to_pylist()
+        arr = np.fromiter((_qid_bucket(v, buckets) for v in vals),
+                          dtype=np.int64, count=len(vals))
+        return batch.append_column("_lb", pa.array(arr, type=pa.int64()))
+
+    def fill(group):
+        if not len(group):
+            return group
+        lookup = _load_label_bucket(labels_dir, int(group["_lb"].iloc[0]))
+        keys = group[val_col].astype(str).str.replace('"', "", regex=False)
+        pairs = [lookup.get(k, ("", "")) for k in keys]
+        group = group.copy()
+        group[label_col] = [p[0] for p in pairs]
+        group[desc_col] = [p[1] for p in pairs]
+        return group.drop(columns=["_lb"])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_lb").map_groups(fill, batch_format="pandas")
+
+
+def enrich_entity_features_partitioned(ds, labels_dir: str, buckets: int = 32,
+                                       closure_dir=None, embedder=None,
+                                       concurrency=None,
+                                       batch_size: int = 4096):
+    """features_entity Dataset -> enriched Dataset via the partitioned label
+    join (for dimensions too large to broadcast). Output is identical to
+    `enrich_entity_features` with the same labels as a dict (tested)."""
+    ds = _resolve_label_side(ds, labels_dir, buckets, "old")
+    ds = _resolve_label_side(ds, labels_dir, buckets, "new")
+    kwargs = dict(closure_dir=closure_dir, embedder=embedder,
+                  prefilled_labels=True)
+    if concurrency is not None:
+        return ds.map_batches(EntityFeatureEnricher,
+                              fn_constructor_kwargs=kwargs,
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency)
+    return ds.map_batches(EntityFeatureEnricher(**kwargs),
+                          batch_format="pyarrow", batch_size=batch_size)
