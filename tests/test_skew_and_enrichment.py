@@ -105,10 +105,21 @@ class TestEmbedderInjection:
         f = Fake()
         assert make_embedder(f) is f
         assert isinstance(make_embedder(Fake), Fake)
-        # the real-model path needs sentence_transformers (absent here): the
-        # spec resolves to an ImportError, not a silent fallback
-        with pytest.raises(ImportError):
-            make_embedder("st:all-MiniLM-L6-v2")
+        # the real-model path needs sentence_transformers: absent (clean
+        # session) it raises ImportError, never a silent fallback; when the
+        # conformance shim has registered its fake module, the spec resolves
+        # to the real-model wrapper class
+        import sys
+
+        from wikidata_edit_history_ray.stages.enrich import \
+            SentenceTransformerEmbedder
+
+        if "sentence_transformers" in sys.modules:
+            assert isinstance(make_embedder("st:all-MiniLM-L6-v2"),
+                              SentenceTransformerEmbedder)
+        else:
+            with pytest.raises(ImportError):
+                make_embedder("st:all-MiniLM-L6-v2")
         with pytest.raises(ValueError):
             make_embedder("nope")
 
