@@ -549,6 +549,21 @@ def _q_kg_corpus_stats(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def _q_kg_revision_distribution(sf_dir: str):
+    """Revisions-per-entity histogram EXCLUDING the corpus's pathological hot
+    entities (the sandbox-exclusion analog,
+    analysis/scripts/general_analysis.py:148, 298). The hot-doc placement is a
+    deterministic function of the corpus parameters, so the exclusion set is
+    SQL-reproducible."""
+    from wikidata_edit_history_ray.pipelines.analysis import revision_distribution
+
+    n = _corpus_docs_for(sf_dir)
+    every = max(10, n // 10)
+    hot_ids = [10 + i for i in range(0, n) if i > 0 and i % every == 0]
+    return revision_distribution(_kg_table(sf_dir, "entity_stats"),
+                                 exclude_entity_ids=hot_ids)
+
+
 def _q_kg_entity_type_stats(sf_dir: str):
     from wikidata_edit_history_ray.pipelines.analysis import entity_type_stats
 
@@ -615,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_property_stats": _q_kg_property_stats,
+        "kg_revision_distribution": _q_kg_revision_distribution,
         "kg_corpus_stats": _q_kg_corpus_stats,
         "kg_entity_type_stats": _q_kg_entity_type_stats,
         "kg_features_entity_enriched": _q_kg_features_entity_enriched,
@@ -716,6 +732,13 @@ def _kg_oracles() -> dict[str, str]:
                    SUM(CASE WHEN action = 'DELETE' THEN 1 ELSE 0 END)::BIGINT AS num_deletes,
                    SUM(CASE WHEN action = 'UPDATE' THEN 1 ELSE 0 END)::BIGINT AS num_updates
             FROM {rp('value_change')} GROUP BY property_id
+        """,
+        "kg_revision_distribution": f"""
+            SELECT num_revisions, COUNT(*)::BIGINT AS num_entities
+            FROM {rp('entity_stats')}
+            WHERE NOT (entity_id > 10
+                       AND (entity_id - 10) % {max(10, _corpus_docs_for('/root/testdata/sf0.01') // 10)} = 0)
+            GROUP BY num_revisions
         """,
         "kg_entity_type_stats": f"""
             SELECT t AS individual_type, '' AS type_label,

@@ -134,11 +134,29 @@ def corpus_stats(entity_stats_ds):
     )
 
 
-def revision_distribution(entity_stats_ds):
-    """Histogram of revisions-per-entity (A5)."""
+def revision_distribution(entity_stats_ds, exclude_entity_ids=None):
+    """Histogram of revisions-per-entity (A5).
+
+    `exclude_entity_ids`: iterable of entity ids to drop first — the
+    reference excludes sandbox entities from its distributions
+    (analysis/scripts/general_analysis.py:148, 298); pass the sandbox QID
+    list (or any pathological-entity set) here."""
     from ray.data.aggregate import Count
 
-    return entity_stats_ds.groupby("num_revisions").aggregate(
+    ds = entity_stats_ds
+    if exclude_entity_ids:
+        import ray
+
+        excl_ref = ray.put(frozenset(exclude_entity_ids))
+
+        def drop(batch: pa.Table) -> pa.Table:
+            excl = ray.get(excl_ref)
+            mask = pa.array([v not in excl
+                             for v in batch.column("entity_id").to_pylist()])
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop, batch_format="pyarrow")
+    return ds.groupby("num_revisions").aggregate(
         Count(alias_name="num_entities"))
 
 
