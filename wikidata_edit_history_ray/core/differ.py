@@ -767,10 +767,14 @@ class PageDiffer:
                 if curr_stmt:
                     curr_stmt["mainsnak"] = homogenize_snak(curr_stmt["mainsnak"])
                     new_hash = self._stmt_hash(sid, curr_stmt["mainsnak"])
-                new_value, new_datatype, new_md = parse_statement_datavalue(curr_stmt)
-                old_value, old_datatype, old_md = parse_statement_datavalue(prev_stmt)
-
+                # datavalues parse lazily per branch: for an unchanged
+                # statement (hashes equal — the overwhelmingly common case in
+                # a full-snapshot revision) no value parsing happens at all
+                old_value = old_datatype = old_md = None
+                new_value = new_datatype = new_md = None
                 if prev_stmt and not curr_stmt:
+                    old_value, old_datatype, old_md = parse_statement_datavalue(prev_stmt)
+                    new_value, new_datatype, new_md = None, None, None
                     change_detected = True
                     if pid == "P31":
                         self.entity_data["p31_types"].discard((sid, old_value))
@@ -784,6 +788,8 @@ class PageDiffer:
                             old_md, new_md, sid, old_datatype, old_datatype, pid,
                             DELETE_PROPERTY_VALUE, old_hash, new_hash)
                 elif curr_stmt and not prev_stmt:
+                    new_value, new_datatype, new_md = parse_statement_datavalue(curr_stmt)
+                    old_value, old_datatype, old_md = None, None, None
                     change_detected = True
                     if pid == "P31":
                         self.entity_data["p31_types"].add((sid, new_value))
@@ -797,6 +803,8 @@ class PageDiffer:
                             old_md, new_md, sid, None, new_datatype, pid,
                             CREATE_PROPERTY_VALUE, old_hash, new_hash)
                 elif prev_stmt and curr_stmt and old_hash != new_hash:
+                    new_value, new_datatype, new_md = parse_statement_datavalue(curr_stmt)
+                    old_value, old_datatype, old_md = parse_statement_datavalue(prev_stmt)
                     change_detected = True
                     if (old_datatype != new_datatype) or (old_value != new_value):
                         if new_datatype == "time":
@@ -825,6 +833,12 @@ class PageDiffer:
                             old_md, new_md, sid, old_datatype, new_datatype, pid,
                             UPDATE_PROPERTY_DATATYPE_METADATA, old_hash, new_hash)
 
+                if (prev_stmt and curr_stmt and old_datatype is None
+                        and prev_stmt.get("rank") != curr_stmt.get("rank")):
+                    # unchanged value but changed rank: the rank row carries
+                    # the datatypes, so parse them now
+                    _, old_datatype, _ = parse_statement_datavalue(prev_stmt)
+                    _, new_datatype, _ = parse_statement_datavalue(curr_stmt)
                 rank_changed = self._handle_rank_changes(
                     prev_stmt, curr_stmt, pid, sid, old_hash, new_hash,
                     old_datatype, new_datatype)
