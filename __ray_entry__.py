@@ -658,13 +658,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _kg_oracles() -> dict[str, str]:
+def _kg_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB oracle SQL for the KG pipeline: reads the construction-time
-    ground-truth parquet persisted next to the sf0.01 corpus (the scale the
-    driver runs correctness at). Non-circular: the expectations are recorded
-    by the generator per edit operation, never derived from engine output
-    (tests/test_expectations_oracle.py proves the correspondence)."""
-    d = _expect_dir("/root/testdata/sf0.01")
+    ground-truth parquet persisted next to the corpus of `sf_dir` (default:
+    sf0.01, the scale the driver runs correctness at). Non-circular: the
+    expectations are recorded by the generator per edit operation, never
+    derived from engine output (tests/test_expectations_oracle.py proves the
+    correspondence)."""
+    d = _expect_dir(sf_dir)
 
     def rp(name: str) -> str:
         return f"read_parquet('{d}/{name}.parquet')"
@@ -737,7 +738,7 @@ def _kg_oracles() -> dict[str, str]:
             SELECT num_revisions, COUNT(*)::BIGINT AS num_entities
             FROM {rp('entity_stats')}
             WHERE NOT (entity_id > 10
-                       AND (entity_id - 10) % {max(10, _corpus_docs_for('/root/testdata/sf0.01') // 10)} = 0)
+                       AND (entity_id - 10) % {max(10, _corpus_docs_for(sf_dir) // 10)} = 0)
             GROUP BY num_revisions
         """,
         "kg_entity_type_stats": f"""
@@ -777,9 +778,11 @@ def _kg_oracles() -> dict[str, str]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Driver contract: called with no args, the SQL targets sf0.01 (where
+    the driver runs correctness). Tests pass another tier's sf_dir."""
     return {
-        **_kg_oracles(),
+        **_kg_oracles(sf_dir),
         "dedup_exact_docs": """
             SELECT doc_id, lang, source, n_chars FROM (
               SELECT doc_id, lang, source, n_chars,
@@ -876,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS duration_ms,
                    CAST(32 AS INTEGER) AS decoded_width,
                    CAST(32 AS INTEGER) AS decoded_height
-            FROM range({max(20, _corpus_docs_for('/root/testdata/sf0.01') // 10)}) t(i)
+            FROM range({max(20, _corpus_docs_for(sf_dir) // 10)}) t(i)
         """,
         "ivf_topk": """
             WITH q AS (
