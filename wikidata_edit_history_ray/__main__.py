@@ -29,6 +29,40 @@ def _ensure_ray():
     return ray
 
 
+def _load_config(path):
+    """DiffConfig kwargs from a JSON or YAML file. A reference-style setup.yml
+    is accepted directly: its change_extraction_filters section maps onto
+    DiffConfig.class_filters, language/re_interpretation/time threshold map
+    onto the matching kwargs."""
+    if not path:
+        return None
+    with open(path) as f:
+        if path.endswith((".yml", ".yaml")):
+            import yaml
+
+            raw = yaml.safe_load(f)
+        else:
+            raw = json.load(f)
+    from .core.differ import DiffConfig
+
+    known = set(DiffConfig().__dict__)
+    if set(raw) <= known:
+        return DiffConfig.from_dict(raw)
+    # reference setup.yml shape
+    kwargs = {}
+    if "change_extraction_filters" in raw:
+        kwargs["class_filters"] = raw["change_extraction_filters"]
+    proc = raw.get("change_extraction_processing", {})
+    if "language" in proc:
+        kwargs["language"] = proc["language"]
+    if "re_interpretation" in raw:
+        kwargs["re_interpretation"] = raw["re_interpretation"]
+    thr = raw.get("reverted_edit_tagging", {}).get("time_threshold_seconds")
+    if thr is not None:
+        kwargs["revert_time_threshold_seconds"] = thr
+    return DiffConfig(**kwargs)
+
+
 def cmd_extract(args):
     ray = _ensure_ray()
     from .pipelines.kg import run_extraction
@@ -38,7 +72,8 @@ def cmd_extract(args):
     if args.aux_dir:
         property_labels, sa_types, ao_types = load_aux_tables(args.aux_dir)
     manifest = run_extraction(
-        args.input, args.output, property_labels=property_labels,
+        args.input, args.output, config=_load_config(args.config),
+        property_labels=property_labels,
         sa_types=sa_types, ao_types=ao_types, batch_size=args.batch_size)
     rows = manifest.take_all()
     resumed = sum(1 for r in rows if r["resumed"])
@@ -54,8 +89,26 @@ def cmd_enrich(args):
     ray = _ensure_ray()
     from .pipelines.kg import run_enrichment
 
-    res = run_enrichment(args.output, closure_dir=args.closure_dir)
+    res = run_enrichment(args.output, closure_dir=args.closure_dir,
+                         labels_dir=args.labels_dir, embedder=args.embedder,
+                         num_gpus=args.num_gpus)
     print(json.dumps(res))
+    ray.shutdown()
+
+
+def cmd_ingest(args):
+    """XML dump files -> sharded interleaved-doc parquet table."""
+    import glob as _glob
+
+    ray = _ensure_ray()
+    from .sources.xml_ingest import ingest_dumps
+
+    paths = sorted(p for pat in args.dumps for p in _glob.glob(pat))
+    if not paths:
+        raise SystemExit(f"no dump files match {args.dumps}")
+    n = ingest_dumps(paths, output_dir=args.output,
+                     max_docs_per_chunk=args.chunk_docs).count()
+    print(json.dumps({"files": len(paths), "docs": n, "output": args.output}))
     ray.shutdown()
 
 
@@ -77,13 +130,27 @@ def main(argv=None):
     e.add_argument("--input", required=True)
     e.add_argument("--output", required=True)
     e.add_argument("--aux-dir", default=None)
+    e.add_argument("--config", default=None,
+                   help="DiffConfig JSON or reference-style setup.yml")
     e.add_argument("--batch-size", type=int, default=32)
     e.set_defaults(fn=cmd_extract)
 
     n = sub.add_parser("enrich", help="second-pass feature enrichment")
     n.add_argument("--output", required=True)
     n.add_argument("--closure-dir", default=None)
+    n.add_argument("--labels-dir", default=None,
+                   help="hash-partitioned label dimension (partition_entity_labels)")
+    n.add_argument("--embedder", default=None,
+                   help="make_embedder spec, e.g. st:all-MiniLM-L6-v2")
+    n.add_argument("--num-gpus", type=float, default=None)
     n.set_defaults(fn=cmd_enrich)
+
+    i = sub.add_parser("ingest", help="XML dumps -> interleaved-doc table")
+    i.add_argument("--dumps", nargs="+", required=True,
+                   help="dump file paths/globs (*.xml[.bz2])")
+    i.add_argument("--output", required=True)
+    i.add_argument("--chunk-docs", type=int, default=2000)
+    i.set_defaults(fn=cmd_ingest)
 
     g = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
     g.add_argument("--path", required=True)

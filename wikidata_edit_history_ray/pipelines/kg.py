@@ -97,16 +97,25 @@ def run_extraction(input_path: str, output_dir: str,
 
 
 def run_enrichment(output_dir: str, closure_dir: str | None = None,
-                   entity_labels=None, concurrency=None):
+                   entity_labels=None, labels_dir: str | None = None,
+                   embedder=None, num_gpus=None, concurrency=None):
     """Second pass (the compute_remaining_features analog,
     scripts/compute_remaining_features.py + feature_creation.py:1207-1466):
     stream the features_entity / features_text parquet written by
     run_extraction through the enrichment actor pools and write the enriched
     tables back next to the originals. Resumable at the directory level: if
-    the enriched dir already has files, the pass skips."""
+    the enriched dir already has files, the pass skips.
+
+    Label dimension: `entity_labels` (broadcast dict, fits-in-worker case) or
+    `labels_dir` (hash-partitioned parquet from partition_entity_labels, for
+    dimensions beyond broadcast size). `embedder` is a make_embedder spec —
+    'st:all-MiniLM-L6-v2' + num_gpus=1 reproduces the reference's GPU model.
+    """
     import ray.data
 
-    from ..stages.enrich import enrich_entity_features, enrich_text_features
+    from ..stages.enrich import (enrich_entity_features,
+                                 enrich_entity_features_partitioned,
+                                 enrich_text_features)
 
     results = {}
     fe_dir = os.path.join(output_dir, "features_entity")
@@ -114,16 +123,24 @@ def run_enrichment(output_dir: str, closure_dir: str | None = None,
         out_dir = os.path.join(output_dir, "features_entity_enriched")
         if not os.path.isdir(out_dir) or not os.listdir(out_dir):
             ds = ray.data.read_parquet(fe_dir)
-            enrich_entity_features(ds, closure_dir=closure_dir,
-                                   entity_labels=entity_labels,
-                                   concurrency=concurrency).write_parquet(out_dir)
+            if labels_dir:
+                enriched = enrich_entity_features_partitioned(
+                    ds, labels_dir, closure_dir=closure_dir,
+                    embedder=embedder, concurrency=concurrency)
+            else:
+                enriched = enrich_entity_features(
+                    ds, closure_dir=closure_dir, entity_labels=entity_labels,
+                    embedder=embedder, num_gpus=num_gpus,
+                    concurrency=concurrency)
+            enriched.write_parquet(out_dir)
         results["features_entity_enriched"] = out_dir
     ft_dir = os.path.join(output_dir, "features_text")
     if os.path.isdir(ft_dir):
         out_dir = os.path.join(output_dir, "features_text_enriched")
         if not os.path.isdir(out_dir) or not os.listdir(out_dir):
             ds = ray.data.read_parquet(ft_dir)
-            enrich_text_features(ds, concurrency=concurrency).write_parquet(out_dir)
+            enrich_text_features(ds, embedder=embedder, num_gpus=num_gpus,
+                                 concurrency=concurrency).write_parquet(out_dir)
         results["features_text_enriched"] = out_dir
     return results
 
