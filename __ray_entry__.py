@@ -452,6 +452,28 @@ def _q_media_features(sf_dir: str):
                          "duration_ms", "decoded_width", "decoded_height"])
 
 
+def _q_media_frame_samples(sf_dir: str):
+    """Video frame-sampling stage: one row per sampled frame per video ref
+    (decode stubbed deterministically; schedule/explode layout real). The
+    fake duration derives from md5 so the oracle reproduces the schedule."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.media import sample_video_frames
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        return pa.table({"media_ref": pa.array(
+            [f"media://vid/{d:06d}.mp4"
+             for d in batch.column("doc_id").to_pylist()], type=pa.string())})
+
+    refs = ds.map_batches(to_refs, batch_format="pyarrow")
+    return sample_video_frames(refs, interval_ms=500) \
+        .select_columns(["media_ref", "frame_index", "ts_ms"])
+
+
 def _q_ivf_topk(sf_dir: str):
     """Full-probe IVF (nprobe == n_centroids) must equal the exact result —
     that is the oracle configuration; partial-probe recall is pytest-covered
@@ -654,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "text_analysis": _q_text_analysis,
         "media_features": _q_media_features,
+        "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
     }
 
@@ -880,6 +903,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(32 AS INTEGER) AS decoded_width,
                    CAST(32 AS INTEGER) AS decoded_height
             FROM range({max(20, _corpus_docs_for(sf_dir) // 10)}) t(i)
+        """,
+        "media_frame_samples": """
+            WITH refs AS (
+              SELECT 'media://vid/' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                     || '.mp4' AS media_ref
+              FROM documents
+            ), d AS (
+              SELECT media_ref,
+                     1000 + 100 * CAST(('0x' || substr(md5(media_ref), 1, 2))
+                                       AS INTEGER) AS dur
+              FROM refs
+            )
+            SELECT media_ref, CAST(i AS INTEGER) AS frame_index,
+                   CAST(i * 500 AS INTEGER) AS ts_ms
+            FROM (SELECT media_ref,
+                         unnest(generate_series(0, dur // 500)) AS i
+                  FROM d)
         """,
         "ivf_topk": """
             WITH q AS (

@@ -281,3 +281,67 @@ class TestInterleavedMedia:
         f1 = {r["media_ref"]: r["media_features"] for r in out}
         f2 = {r["media_ref"]: r["media_features"] for r in out2}
         assert f1 == f2
+
+
+class TestMediaResizeAndFrames:
+    def test_resize_nearest_kernel(self):
+        import numpy as np
+
+        from wikidata_edit_history_ray.stages.media import resize_nearest
+
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out = resize_nearest(img, 2, 3)
+        assert out.shape == (2, 3, 3)
+        # nearest-neighbor: exact source pixels, no interpolation
+        assert (out[0, 0] == img[0, 0]).all()
+        assert (out[1, 2] == img[2, 4]).all()
+        up = resize_nearest(img, 8, 12)
+        assert up.shape == (8, 12, 3)
+
+    def test_resize_stage(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.media import (make_media_table,
+                                                            resize_media)
+
+        t = make_media_table([f"media://img/{i}.png" for i in range(10)])
+        out = resize_media(ray.data.from_arrow(t), out_h=8, out_w=8,
+                           batch_size=4).take_all()
+        assert len(out) == 10
+        for r in out:
+            assert r["resized_height"] == 8 and r["resized_width"] == 8
+            assert len(r["resized_rgb"]) == 8 * 8 * 3
+        # deterministic across runs
+        out2 = resize_media(ray.data.from_arrow(t), out_h=8, out_w=8).take_all()
+        assert {r["media_ref"]: bytes(r["resized_rgb"]) for r in out} == \
+            {r["media_ref"]: bytes(r["resized_rgb"]) for r in out2}
+
+    def test_frame_sampling_schedule(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.media import (fake_duration_ms,
+                                                            sample_video_frames)
+
+        refs = [f"media://vid/{i}.mp4" for i in range(5)]
+        t = pa.table({"media_ref": pa.array(refs, type=pa.string())})
+        rows = sample_video_frames(ray.data.from_arrow(t),
+                                   interval_ms=500).take_all()
+        by_ref = {}
+        for r in rows:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        for ref in refs:
+            frames = sorted(by_ref[ref], key=lambda r: r["frame_index"])
+            expected = fake_duration_ms(ref) // 500 + 1
+            assert len(frames) == expected
+            assert [f["ts_ms"] for f in frames] == \
+                [i * 500 for i in range(expected)]
+            assert all(len(f["frame_features"]) == 16 for f in frames)
+
+    def test_media_type_inference(self):
+        from wikidata_edit_history_ray.stages.media import infer_media_type
+
+        assert infer_media_type("a/b.PNG") == "image"
+        assert infer_media_type("x.mp3") == "audio"
+        assert infer_media_type("x.webm") == "video"
+        assert infer_media_type("x.bin") == "binary"
