@@ -130,3 +130,75 @@ class TestGlobeFeatures:
         r = F.create_globe_coordinate_features(old, new)
         assert r[0] == 1  # latitude_sign_change
         assert r[2] == 0  # whole number same
+
+
+class TestLevenshteinDifferential:
+    def test_fast_paths_match_plain_dp(self):
+        """Trimming + Myers bit-parallel scan vs the plain DP on adversarial
+        small-alphabet strings (ties everywhere) and across the 64-char
+        word-size threshold."""
+        import random
+
+        def dp(a, b):
+            if len(a) > len(b):
+                a, b = b, a
+            prev = list(range(len(a) + 1))
+            for j, cb in enumerate(b, 1):
+                curr = [j]
+                for i, ca in enumerate(a, 1):
+                    curr.append(min(prev[i] + 1, curr[i - 1] + 1,
+                                    prev[i - 1] + (ca != cb)))
+                prev = curr
+            return prev[-1]
+
+        rng = random.Random(7)
+        for _ in range(4000):
+            a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 14)))
+            b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 14)))
+            assert F.levenshtein_distance(a, b) == dp(a, b), (a, b)
+        for _ in range(150):
+            a = "".join(rng.choice("ab") for _ in range(rng.randint(55, 90)))
+            b = "".join(rng.choice("ab") for _ in range(rng.randint(55, 90)))
+            assert F.levenshtein_distance(a, b) == dp(a, b)
+
+    def test_edit_ops_trim_matches_untrimmed_backtrace(self):
+        import random
+
+        def ops_ref(old, new):
+            m, n = len(old), len(new)
+            dp_ = [[0] * (n + 1) for _ in range(m + 1)]
+            for i in range(m + 1):
+                dp_[i][0] = i
+            for j in range(n + 1):
+                dp_[0][j] = j
+            for i in range(1, m + 1):
+                oi = old[i - 1]
+                for j in range(1, n + 1):
+                    if oi == new[j - 1]:
+                        dp_[i][j] = dp_[i - 1][j - 1]
+                    else:
+                        dp_[i][j] = 1 + min(dp_[i - 1][j], dp_[i][j - 1],
+                                            dp_[i - 1][j - 1])
+            i, j = m, n
+            ins = dels = subs = 0
+            while i > 0 or j > 0:
+                if i > 0 and j > 0 and old[i - 1] == new[j - 1]:
+                    i -= 1
+                    j -= 1
+                elif i > 0 and j > 0 and dp_[i][j] == dp_[i - 1][j - 1] + 1:
+                    subs += 1
+                    i -= 1
+                    j -= 1
+                elif j > 0 and dp_[i][j] == dp_[i][j - 1] + 1:
+                    ins += 1
+                    j -= 1
+                else:
+                    dels += 1
+                    i -= 1
+            return ins, dels, subs
+
+        rng = random.Random(11)
+        for _ in range(4000):
+            a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 10)))
+            b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 10)))
+            assert F._edit_operations(a, b) == ops_ref(a, b), (a, b)

@@ -30,10 +30,41 @@ def _trim_common(a: str, b: str):
     return a[p:len(a) - s], b[p:len(b) - s]
 
 
+def _myers_distance(a: str, b: str) -> int:
+    """Myers (1999) bit-parallel Levenshtein for len(a) <= 64: O(len(b))
+    word operations instead of the O(len(a)*len(b)) DP."""
+    m = len(a)
+    peq: dict = {}
+    for i, c in enumerate(a):
+        peq[c] = peq.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    last = 1 << (m - 1)
+    score = m
+    vp, vn = mask, 0
+    get = peq.get
+    for c in b:
+        eq = get(c, 0)
+        xv = eq | vn
+        xh = (((eq & vp) + vp) ^ vp) | eq
+        hp = vn | (~(xh | vp) & mask)
+        hn = vp & xh
+        if hp & last:
+            score += 1
+        elif hn & last:
+            score -= 1
+        hp = ((hp << 1) | 1) & mask
+        hn = (hn << 1) & mask
+        vp = hn | (~(xv | hp) & mask)
+        vn = hp & xv
+    return score
+
+
 def levenshtein_distance(a: str, b: str) -> int:
     """Plain Levenshtein (unit costs). Common prefix/suffix trimmed away
-    (real-world value updates usually change a small core), then two-row DP
-    over the differing cores."""
+    (real-world value updates usually change a small core), then Myers
+    bit-parallel scan when the shorter core fits one machine word, else
+    two-row DP. Both paths are differentially pinned against the plain DP
+    (tests/test_features.py)."""
     if a == b:
         return 0
     a, b = _trim_common(a, b)
@@ -43,6 +74,8 @@ def levenshtein_distance(a: str, b: str) -> int:
         return len(a)
     if len(a) > len(b):
         a, b = b, a
+    if len(a) <= 64:
+        return _myers_distance(a, b)
     prev = list(range(len(a) + 1))
     for j, cb in enumerate(b, 1):
         curr = [j]
