@@ -72,9 +72,10 @@ def _docs_ds(sf_dir: str):
 
     from wikidata_edit_history_ray.sources.io import read_documents
 
-    # ~2 blocks per core: enough waves to balance hot-doc skew without
-    # paying per-task dispatch overhead for hundreds of tiny tasks
-    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    # at least ~64 blocks (and >=2 per core): enough waves that hot-doc
+    # straggler blocks cannot stretch the tail; 64 tasks of dispatch overhead
+    # is noise next to per-doc diff work
+    nblocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 2)
     return read_documents(_corpus_path(sf_dir), override_num_blocks=nblocks)
 
 
