@@ -602,6 +602,22 @@ def _q_kg_graph_triples(sf_dir: str):
         .select_columns(["subj", "pred", "value_id"])
 
 
+_ASOF_CUTOFF = "2020-01-01T12:35:00Z"  # = _ts(5): 5 revision slots into history
+
+
+def _q_kg_graph_asof(sf_dir: str):
+    """Temporal as-of snapshot: the KG state after replaying only changes up
+    to a timestamp cutoff — materialize_graph over the time-filtered change
+    stream. The generator's timestamps are a pure function of the per-entity
+    revision index, so the oracle reproduces the cutoff as a window over the
+    expectation table."""
+    from wikidata_edit_history_ray.pipelines.kg import materialize_graph
+
+    vc = _kg_table(sf_dir, "value_change")
+    upto = vc.filter(expr=f"timestamp <= '{_ASOF_CUTOFF}'")
+    return materialize_graph(upto).select_columns(["subj", "pred", "value_id"])
+
+
 def _q_kg_canonical_triples(sf_dir: str):
     """Salted-key canonicalization/dedup groupby over the change table
     (idempotent on clean input; the ON CONFLICT analog across partitions)."""
@@ -651,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_errors": _q_kg_errors,
         "kg_media_features": _q_kg_media_features,
         "kg_graph_triples": _q_kg_graph_triples,
+        "kg_graph_asof": _q_kg_graph_asof,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_property_stats": _q_kg_property_stats,
         "kg_revision_distribution": _q_kg_revision_distribution,
@@ -739,6 +756,21 @@ def _kg_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM {rp('features')} WHERE "table" = 'features_entity'
         """,
         "kg_graph_triples": f"SELECT subj, pred, value_id FROM {rp('graph_triples')}",
+        # as-of replay: generator timestamps are _ts(i) with i = revision_id -
+        # entity_id*1000, so ts <= _ts(5) <=> that index <= 5; last action per
+        # statement within the window, DELETEs filtered
+        "kg_graph_asof": f"""
+            SELECT entity_id AS subj, property_id AS pred, value_id
+            FROM (
+              SELECT entity_id, property_id, value_id, action,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY entity_id, property_id, value_id
+                       ORDER BY revision_id DESC) AS rn
+              FROM {rp('value_change')}
+              WHERE change_target = ''
+                AND revision_id - entity_id * 1000 <= 5
+            ) WHERE rn = 1 AND action <> 'DELETE'
+        """,
         "kg_media_features": f"""
             SELECT doc_id, "offset", media_ref,
                    CAST(32 AS INTEGER) AS decoded_width,
