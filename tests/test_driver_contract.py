@@ -19,7 +19,9 @@ SUBSET = [
     "kg_features_text",
     "kg_errors",
     "kg_revision_distribution",
+    "kg_graph_asof",
     "kg_media_features",
+    "media_frame_samples",
     "minhash_dedup_docs",
     "embedding_dedup",
     "ivf_topk",

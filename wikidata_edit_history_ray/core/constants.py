@@ -177,6 +177,12 @@ ENTITY_STATS_COLS = [
     "num_human_edits", "num_reverted_edits", "num_reversions",
     "num_reverted_edits_create", "num_reverted_edits_delete",
     "num_reverted_edits_update", "file_path",
+    # per-entity timing columns (reference: scripts/const.py:437-445).
+    # total_xml_parse_time_sec is the envelope/snapshot JSON parse time here
+    # (XML parsing happens at ingest in this engine, measured per shard there)
+    "total_xml_parse_time_sec", "total_process_time_sec",
+    "total_revision_diff_time_sec", "num_revisions_timed",
+    "total_feature_creation_sec", "num_feature_creations_timed",
 ]
 ENTITY_STATS_PK = ["entity_id"]
 

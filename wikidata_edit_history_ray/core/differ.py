@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import re
+import time
 from collections import defaultdict
 
 from . import features as F
@@ -231,7 +232,11 @@ class PageDiffer:
             "num_datatype_metadata_deletes": 0, "num_datatype_metadata_updates": 0,
             "first_revision_timestamp": None, "last_revision_timestamp": None,
             "num_bot_edits": 0, "num_anonymous_edits": 0, "num_human_edits": 0,
+            "total_xml_parse_time_sec": 0.0, "total_process_time_sec": 0.0,
+            "total_revision_diff_time_sec": 0.0, "num_revisions_timed": 0,
+            "total_feature_creation_sec": 0.0, "num_feature_creations_timed": 0,
         }
+        self._t_doc_start = time.perf_counter()
 
     def _snak_hash(self, hom_snak):
         # NOTE: no memoization on the upstream 'hash' field — the canonical
@@ -321,10 +326,13 @@ class PageDiffer:
 
         if (self.cfg.extract_features and change_target == "" and action == "UPDATE"
                 and new_datatype == old_datatype):
+            t_feat = time.perf_counter()
             self._calculate_features(
                 revision_id, property_id, property_label, value_id, old_value,
                 new_value, old_datatype, new_datatype, change_target, action,
             )
+            self.stats["total_feature_creation_sec"] += time.perf_counter() - t_feat
+            self.stats["num_feature_creations_timed"] += 1
 
         week, year_month, year = _time_buckets(timestamp)
         self.changes.append((
@@ -931,7 +939,9 @@ class PageDiffer:
                 current_revision = envelope["entity"]
                 raw_text = ""
             else:
+                t_parse = time.perf_counter()
                 current_revision = parse_revision_text(raw_text)
+                self.stats["total_xml_parse_time_sec"] += time.perf_counter() - t_parse
 
             self.rev_meta = {
                 "entity_id": entity_id,
@@ -956,7 +966,10 @@ class PageDiffer:
                     self.entity_data["description"] = curr_desc
                 if curr_alias and self.entity_data["alias"] != curr_alias:
                     self.entity_data["alias"] = curr_alias
+                t_diff = time.perf_counter()
                 change = self._get_changes_from_revisions(current_revision, previous_revision)
+                self.stats["total_revision_diff_time_sec"] += time.perf_counter() - t_diff
+                self.stats["num_revisions_timed"] += 1
 
             if change:
                 meta = self.rev_meta
@@ -1032,6 +1045,10 @@ class PageDiffer:
         s["first_revision_timestamp"] = self.revisions[0][3] if self.revisions else None
         s["last_revision_timestamp"] = self.revisions[-1][3] if self.revisions else None
         s["file_path"] = self.file_path
+        s["total_process_time_sec"] = time.perf_counter() - self._t_doc_start
+        for c in ("total_xml_parse_time_sec", "total_process_time_sec",
+                  "total_revision_diff_time_sec", "total_feature_creation_sec"):
+            s[c] = round(s[c], 6)
 
         from .constants import ENTITY_STATS_COLS
 

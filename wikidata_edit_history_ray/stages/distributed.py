@@ -19,11 +19,20 @@ import pyarrow as pa
 # per-worker cache of fetched broadcast tables, keyed by the ref tuple
 _BCAST_CACHE: dict = {}
 
+# driver-side pins: the MaterializedDataset that owns the broadcast blocks
+# must outlive the downstream execution — if it is GC'd, Ray may reclaim the
+# blocks under object-store pressure and the captured refs dangle (observed
+# as a rare UserCodeException in the filter stage on small-memory sessions)
+_BCAST_PINS: list = []
+
 
 def broadcast_dataset(ds):
     """Materialize a Dataset and return a lightweight handle (tuple of Arrow
     block refs) that tasks can capture in closures."""
     mat = ds.materialize()
+    _BCAST_PINS.append(mat)
+    if len(_BCAST_PINS) > 64:
+        del _BCAST_PINS[:32]
     return tuple(mat.to_arrow_refs())
 
 
@@ -69,6 +78,9 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
     neither side ever materializes centrally.
     """
     drop_small = drop_ds.select_columns([drop_col]).materialize()
+    _BCAST_PINS.append(drop_small)
+    if len(_BCAST_PINS) > 64:
+        del _BCAST_PINS[:32]
     if drop_small.count() <= broadcast_limit:
         refs = tuple(drop_small.to_arrow_refs())
 

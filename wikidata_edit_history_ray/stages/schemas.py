@@ -38,6 +38,11 @@ _TYPE_OVERRIDES = {
         "num_bot_edits", "num_anonymous_edits", "num_human_edits",
         "num_reverted_edits", "num_reversions", "num_reverted_edits_create",
         "num_reverted_edits_delete", "num_reverted_edits_update",
+        "num_revisions_timed", "num_feature_creations_timed",
+    )},
+    **{c: pa.float64() for c in (
+        "total_xml_parse_time_sec", "total_process_time_sec",
+        "total_revision_diff_time_sec", "total_feature_creation_sec",
     )},
     # feature columns
     **{c: pa.float64() for c in (
