@@ -401,6 +401,39 @@ def _q_simhash_dedup(sf_dir: str):
     return simhash_dedup(ds).select_columns(["doc_id"])
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Standalone exact n-gram Jaccard operator: score each (base, clone)
+    pair of the derived corpus. The construction fixes the exact scores
+    analytically (48 unique tokens, k=3 -> 46 shingles; only the final window
+    contains the last token, so a last-token edit replaces exactly 1 shingle
+    -> J = 45/47; far clones share none -> 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import ngram_jaccard
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_out, j_out = [], []
+        for d in batch.column("doc_id").to_pylist():
+            toks = [f"w{d}x{i}" for i in range(48)]
+            base = " ".join(toks)
+            if d % 10 == 0:
+                ids_out.append(d + 10_000_000)
+                j_out.append(round(ngram_jaccard(
+                    base, " ".join(toks[:-1] + ["zz"]), n=3), 3))
+            if d % 10 == 5:
+                ids_out.append(d + 20_000_000)
+                j_out.append(round(ngram_jaccard(
+                    base, " ".join(f"f{d}x{i}" for i in range(48)), n=3), 3))
+        return pa.table({"pair_id": pa.array(ids_out, type=pa.int64()),
+                         "jaccard": pa.array(j_out, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _q_embedding_dedup(sf_dir: str):
     import ray.data
 
@@ -691,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only operators ---
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "text_analysis": _q_text_analysis,
         "media_features": _q_media_features,
@@ -926,6 +960,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "embedding_dedup": """
             SELECT vec_id FROM embeddings
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT doc_id + 10000000 AS pair_id,
+                   ROUND(45.0 / 47.0, 3) AS jaccard
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 20000000 AS pair_id, 0.0 AS jaccard
+            FROM documents WHERE doc_id % 10 = 5
         """,
         "media_features": f"""
             SELECT 'media://img/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.png'

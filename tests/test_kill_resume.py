@@ -70,3 +70,44 @@ def test_kill_mid_run_then_resume(tmp_path):
     # identical output; committed partitions were not redone (their manifest
     # files' mtimes predate the resume run)
     assert _read_vc(out) == expected
+
+
+class TestCoalescedPartitions:
+    def test_coalesced_specs_cover_and_resume(self, ray_session, tmp_path):
+        """Coalesced partitions produce identical output rows to row-group
+        partitions, and resume still skips completed coalesced units."""
+        import json
+
+        import duckdb
+
+        from wikidata_edit_history_ray.pipelines.kg import run_extraction
+        from wikidata_edit_history_ray.sources.corpus import (
+            AO_TYPES, SA_TYPES, write_corpus_parquet)
+        from wikidata_edit_history_ray.stages.extract import list_partition_specs
+
+        docs = str(tmp_path / "docs")
+        write_corpus_parquet(docs, 400, seed=9, n_shards=2)
+        fine = list_partition_specs(docs)
+        coarse = list_partition_specs(docs, target_rows_per_partition=150)
+        assert len(coarse) < len(fine)
+        assert sum(s["num_rows"] for s in coarse) == \
+            sum(s["num_rows"] for s in fine) == 400
+
+        out_f = str(tmp_path / "out_fine")
+        out_c = str(tmp_path / "out_coarse")
+        run_extraction(docs, out_f, sa_types=set(SA_TYPES), ao_types=set(AO_TYPES))
+        m = run_extraction(docs, out_c, sa_types=set(SA_TYPES),
+                           ao_types=set(AO_TYPES), target_rows_per_partition=150)
+        assert m.count() == len(coarse)
+
+        q = ("SELECT revision_id, property_id, value_id, change_target, action "
+             "FROM read_parquet('{}/value_change/*.parquet') ORDER BY 1,2,3,4")
+        a = duckdb.sql(q.format(out_f)).fetchall()
+        b = duckdb.sql(q.format(out_c)).fetchall()
+        assert a == b and len(a) > 0
+
+        # resume: all coalesced partitions skip on re-run
+        m2 = run_extraction(docs, out_c, sa_types=set(SA_TYPES),
+                            ao_types=set(AO_TYPES), target_rows_per_partition=150)
+        rows = m2.take_all()
+        assert all(r["resumed"] for r in rows) and len(rows) == len(coarse)

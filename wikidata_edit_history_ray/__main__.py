@@ -74,7 +74,8 @@ def cmd_extract(args):
     manifest = run_extraction(
         args.input, args.output, config=_load_config(args.config),
         property_labels=property_labels,
-        sa_types=sa_types, ao_types=ao_types, batch_size=args.batch_size)
+        sa_types=sa_types, ao_types=ao_types, batch_size=args.batch_size,
+        target_rows_per_partition=args.partition_rows)
     rows = manifest.take_all()
     resumed = sum(1 for r in rows if r["resumed"])
     print(json.dumps({
@@ -133,6 +134,9 @@ def main(argv=None):
     e.add_argument("--config", default=None,
                    help="DiffConfig JSON or reference-style setup.yml")
     e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument("--partition-rows", type=int, default=None,
+                   help="coalesce row groups into ~N-row resume partitions "
+                        "(default: one partition per row group)")
     e.set_defaults(fn=cmd_extract)
 
     n = sub.add_parser("enrich", help="second-pass feature enrichment")

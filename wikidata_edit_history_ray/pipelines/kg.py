@@ -59,7 +59,8 @@ def extract_table(ds, table: str = "value_change", config: DiffConfig | None = N
 def run_extraction(input_path: str, output_dir: str,
                    config: DiffConfig | None = None, property_labels=None,
                    sa_types=None, ao_types=None, concurrency=None,
-                   batch_size: int = 32, documents_ds=None):
+                   batch_size: int = 32, documents_ds=None,
+                   target_rows_per_partition: int | None = None):
     """Full multi-table extraction with lineage manifest; returns the manifest
     as a small materialized Dataset (one row per partition).
 
@@ -76,7 +77,8 @@ def run_extraction(input_path: str, output_dir: str,
 
     del documents_ds, batch_size
     os.makedirs(output_dir, exist_ok=True)
-    specs = list_partition_specs(input_path)
+    specs = list_partition_specs(
+        input_path, target_rows_per_partition=target_rows_per_partition)
     ds = ray.data.from_items(specs)
     pl_ref, sa_ref, ao_ref = _broadcast_aux(property_labels, sa_types, ao_types)
     cfg = (config or DiffConfig()).to_dict()

@@ -217,12 +217,13 @@ class MultiSinkExtractor(ChangeExtractor):
         rows = []
         for spec in batch.to_pylist():
             path, rg, num_rows = spec["file"], spec["row_group"], spec["num_rows"]
+            n_rgs = spec.get("num_row_groups") or 1
             # content signal (file size) in the fingerprint: regenerating an
             # input in place with the same name/row-group layout but different
             # contents must NOT silently reuse stale partition outputs
             fsize = os.path.getsize(path)
             fingerprint = hashlib.sha1(
-                f"{os.path.basename(path)}:{rg}:{num_rows}:{fsize}"
+                f"{os.path.basename(path)}:{rg}:{n_rgs}:{num_rows}:{fsize}"
                 .encode()).hexdigest()[:16]
             part_id = f"part-{fingerprint}"
             manifest_dir = os.path.join(self.output_dir, "_manifest")
@@ -236,7 +237,8 @@ class MultiSinkExtractor(ChangeExtractor):
                 continue
 
             t0 = time.time()
-            docs = pq.ParquetFile(path).read_row_group(rg)
+            docs = pq.ParquetFile(path).read_row_groups(
+                list(range(rg, rg + n_rgs)))
             import pyarrow.compute as pc
 
             num_spans = int(pc.sum(pc.list_value_length(docs.column("spans"))).as_py() or 0)
@@ -290,9 +292,17 @@ class MultiSinkExtractor(ChangeExtractor):
             schema=MANIFEST_SCHEMA)
 
 
-def list_partition_specs(input_path: str) -> list:
-    """Deterministic partition list for a parquet file or directory: one spec
-    per (file, row_group). Cheap — reads only parquet footers."""
+def list_partition_specs(input_path: str,
+                         target_rows_per_partition: int | None = None) -> list:
+    """Deterministic partition list for a parquet file or directory. Cheap —
+    reads only parquet footers.
+
+    Default: one spec per (file, row_group) — the finest resume granularity.
+    With target_rows_per_partition, CONSECUTIVE row groups of a file coalesce
+    until the target: at corpus scale, row-group-sized partitions mean tens
+    of thousands of small output files per table (write-bound); coarser
+    partitions trade resume granularity for sink efficiency. Both shapes stay
+    deterministic (pure function of the input footers)."""
     import os
 
     import pyarrow.parquet as pq
@@ -306,9 +316,17 @@ def list_partition_specs(input_path: str) -> list:
     specs = []
     for f in files:
         md = pq.read_metadata(f)
+        pending, pending_rows = [], 0
         for rg in range(md.num_row_groups):
-            specs.append({"file": f, "row_group": rg,
-                          "num_rows": md.row_group(rg).num_rows})
+            pending.append(rg)
+            pending_rows += md.row_group(rg).num_rows
+            if (target_rows_per_partition is None
+                    or pending_rows >= target_rows_per_partition
+                    or rg == md.num_row_groups - 1):
+                specs.append({"file": f, "row_group": pending[0],
+                              "num_row_groups": len(pending),
+                              "num_rows": pending_rows})
+                pending, pending_rows = [], 0
     return specs
 
 
