@@ -165,8 +165,10 @@ def materialize_graph(value_change_ds, salt_buckets: int = 0):
     import numpy as np
     import pyarrow as pa
 
+    from ..stages.distributed import default_reduce_buckets
+
     key_cols = ["entity_id", "property_id", "value_id"]
-    buckets = salt_buckets or 64
+    buckets = salt_buckets or default_reduce_buckets()
 
     def local_last(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -218,7 +220,9 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
     import numpy as np
     import pyarrow as pa
 
-    buckets = salt_buckets or 64
+    from ..stages.distributed import default_reduce_buckets
+
+    buckets = salt_buckets or default_reduce_buckets()
 
     def drop_local_dupes(batch: pa.Table) -> pa.Table:
         # partial dedup inside each block before any shuffle, then tag each

@@ -45,14 +45,19 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = 64):
+                buckets: int | None = None):
     """Keep the min-id row per exact content hash; deterministic tie-break.
 
     Shuffle key is a coarse hash bucket (all rows with one content hash share
     a bucket), and the per-bucket reducer is one vectorized pandas
     drop_duplicates — ~`buckets` reduce groups total instead of one group per
     distinct document, which is what keeps the reduce side cheap at corpus
-    scale."""
+    scale. Bucket count scales with the cluster (default_reduce_buckets)."""
+    from .distributed import default_reduce_buckets
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+
     def hash_and_bucket(batch: pa.Table) -> pa.Table:
         out = add_content_hash(batch, text_col)
         hashes = out.column("content_hash").to_pylist()
@@ -137,7 +142,7 @@ class MinHashStage:
         })
 
 
-def _coarse_from_bucket_str(batch: pa.Table, buckets: int = 64) -> pa.Table:
+def _coarse_from_bucket_str(batch: pa.Table, buckets: int) -> pa.Table:
     keys = batch.column("bucket").to_pylist()
     coarse = np.fromiter((int(k.split(":", 1)[1][:8], 16) % buckets for k in keys),
                          dtype=np.int64, count=len(keys))
@@ -162,8 +167,10 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     3. filter pass: distributed anti-join of the drop ids
        (stages/distributed.filter_out_ids — no driver materialization).
     """
-    from .distributed import _get_broadcast_table, fetch_rows_by_ids, filter_out_ids
+    from .distributed import (_get_broadcast_table, default_reduce_buckets,
+                              fetch_rows_by_ids, filter_out_ids)
 
+    n_coarse = default_reduce_buckets()
     sig_ds = ds.map_batches(
         MinHashStage(num_perm=num_perm, shingle_size=shingle_size, bands=bands,
                      text_col=text_col, id_col=id_col),
@@ -187,7 +194,9 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"cand_a": a_out, "cand_b": b_out}).astype(
             {"cand_a": group[id_col].dtype, "cand_b": group[id_col].dtype})
 
-    edges = sig_ds.map_batches(_coarse_from_bucket_str, batch_format="pyarrow") \
+    edges = sig_ds.map_batches(
+            lambda b: _coarse_from_bucket_str(b, n_coarse),
+            batch_format="pyarrow") \
         .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas") \
         .materialize()
 
@@ -286,14 +295,18 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "64-bit simhash block keys would lose the pigeonhole guarantee")
     from .distributed import filter_out_ids
 
+    from .distributed import default_reduce_buckets
+
     n_blocks = max_hamming + 1
+    n_coarse = default_reduce_buckets()
     slim = ds.map_batches(
         lambda b: _explode_simhash_blocks(b, text_col, id_col, n_blocks),
         batch_format="pyarrow")
 
     def coarse(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
-        return batch.append_column("_coarse", pa.array(keys % 64, type=pa.int64()))
+        return batch.append_column("_coarse",
+                                   pa.array(keys % n_coarse, type=pa.int64()))
 
     def bucket_losers(group):
         import pandas as pd
@@ -353,7 +366,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     Shuffle volume: (id, vec, bucket) per table row — the vector ships
     num_tables times; acceptable because the sketch table is the only thing
     shuffled, never joined back row-wise."""
-    from .distributed import filter_out_ids
+    from .distributed import default_reduce_buckets, filter_out_ids
 
     def add_buckets(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
@@ -382,9 +395,12 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     bds = ds.select_columns([id_col, vec_col]).map_batches(
         add_buckets, batch_format="pyarrow")
 
+    n_coarse = default_reduce_buckets()
+
     def coarse(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch.column("lsh_bucket").to_pylist(), dtype=np.int64)
-        return batch.append_column("_coarse", pa.array(keys % 64, type=pa.int64()))
+        return batch.append_column("_coarse",
+                                   pa.array(keys % n_coarse, type=pa.int64()))
 
     def bucket_losers(group):
         import pandas as pd

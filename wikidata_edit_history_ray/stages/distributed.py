@@ -16,6 +16,22 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+def default_reduce_buckets(minimum: int = 64) -> int:
+    """Coarse-reducer bucket count proportional to the cluster: ~2 reduce
+    tasks per CPU, floored at `minimum`. A fixed 64 would cap reduce-side
+    parallelism on a 256-node cluster at 64 tasks; resolved at pipeline build
+    time on the driver."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(minimum,
+                       int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        pass
+    return minimum
+
+
 # per-worker cache of fetched broadcast tables, keyed by the ref tuple
 _BCAST_CACHE: dict = {}
 
@@ -67,7 +83,7 @@ def _get_broadcast_set(refs, col: str) -> set:
 
 
 def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
-                   broadcast_limit: int = 2_000_000, buckets: int = 64):
+                   broadcast_limit: int = 2_000_000, buckets: int | None = None):
     """Remove from `ds` every row whose `id_col` appears in `drop_ds[drop_col]`.
 
     drop count <= broadcast_limit: drop ids are broadcast as block refs and
@@ -81,6 +97,8 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
     _BCAST_PINS.append(drop_small)
     if len(_BCAST_PINS) > 64:
         del _BCAST_PINS[:32]
+    if buckets is None:
+        buckets = default_reduce_buckets()
     if drop_small.count() <= broadcast_limit:
         refs = tuple(drop_small.to_arrow_refs())
 
