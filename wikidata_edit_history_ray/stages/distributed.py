@@ -176,12 +176,24 @@ def _anti_join_shuffle(ds, drop_ds, id_col: str, drop_col: str, buckets: int):
         bucket_filter, batch_format="pandas")
 
 
-def fetch_rows_by_ids(ds, id_ds, id_col: str, columns=None):
+def fetch_rows_by_ids(ds, id_ds, id_col: str, columns=None,
+                      warn_above: int = 5_000_000):
     """Small-result point lookup: scan `ds`, keep rows whose id is in the
     (broadcast) id set, return a broadcast handle for the result table.
 
     The scan is shuffle-free (a filter pass); the result must be small (the
-    candidate set of a dedup pass, not the corpus)."""
+    candidate set of a dedup pass, not the corpus). When the id set exceeds
+    `warn_above`, a warning is logged — at that size the fetched rows may not
+    fit a worker heap and the caller should switch to a partitioned join
+    (no silent degradation)."""
+    n_ids = id_ds.count()
+    if n_ids > warn_above:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fetch_rows_by_ids: %d candidate ids exceed the broadcast "
+            "comfort zone (%d); fetched rows are broadcast per worker — "
+            "consider a partitioned join for this dup rate", n_ids, warn_above)
     refs = broadcast_id_set(id_ds, id_col)
 
     def filt(batch: pa.Table) -> pa.Table:
