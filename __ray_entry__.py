@@ -329,7 +329,9 @@ def _q_knn_topk(sf_dir: str):
     from wikidata_edit_history_ray.stages.similarity import brute_force_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    # query vectors: first row group only (never the whole file into the driver)
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+        .read_row_group(0, columns=["embedding"]).slice(0, 3)
     q = np.array(first.column("embedding").to_pylist(), dtype=np.float32)
     out = brute_force_topk(ds, q, k=10)
     return out.select_columns(["query_idx", "vec_id"])
@@ -519,7 +521,9 @@ def _q_ivf_topk(sf_dir: str):
     from wikidata_edit_history_ray.stages.similarity import ivf_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    # query vectors: first row group only (never the whole file into the driver)
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+        .read_row_group(0, columns=["embedding"]).slice(0, 3)
     q = np.array(first.column("embedding").to_pylist(), dtype=np.float32)
     return ivf_topk(ds, q, k=10, n_centroids=8, nprobe=8) \
         .select_columns(["query_idx", "vec_id"])

@@ -45,6 +45,46 @@ class TestFilterOutIds:
             sorted(f"id{i}" for i in range(1, 50, 2))
 
 
+class TestGatherPairValues:
+    def test_resolves_both_endpoints(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.distributed import \
+            gather_pair_values
+
+        n = 200
+        t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                      "text": [f"payload-{i}" for i in range(n)]})
+        edges = pa.table({
+            "cand_a": pa.array([i for i in range(0, n, 4)], type=pa.int64()),
+            "cand_b": pa.array([i + 1 for i in range(0, n, 4)], type=pa.int64())})
+        out = gather_pair_values(ray.data.from_arrow(t, override_num_blocks=4),
+                                 ray.data.from_arrow(edges),
+                                 "doc_id", "text").take_all()
+        assert len(out) == n // 4
+        for r in out:
+            assert r["val_a"] == f"payload-{r['cand_a']}"
+            assert r["val_b"] == f"payload-{r['cand_b']}"
+            assert r["cand_b"] == r["cand_a"] + 1
+
+    def test_duplicate_edges_resolve_once(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.distributed import \
+            gather_pair_values
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "text": ["a", "b", "c"]})
+        edges = pa.table({"cand_a": pa.array([1, 1, 1], type=pa.int64()),
+                          "cand_b": pa.array([2, 2, 3], type=pa.int64())})
+        out = gather_pair_values(ray.data.from_arrow(t),
+                                 ray.data.from_arrow(edges),
+                                 "doc_id", "text").take_all()
+        pairs = sorted((r["cand_a"], r["cand_b"], r["val_a"], r["val_b"])
+                       for r in out)
+        assert pairs == [(1, 2, "a", "b"), (1, 3, "a", "c")]
+
+
 class TestDedupSkew:
     def test_minhash_hot_bucket(self, ray_session):
         """One LSH bucket with thousands of members (identical docs) — the
@@ -63,6 +103,29 @@ class TestDedupSkew:
         out = minhash_lsh_dedup(ray.data.from_arrow(t, override_num_blocks=8))
         got = sorted(r["doc_id"] for r in out.take_all())
         assert got == [0] + list(range(n, n + 20))
+
+    def test_minhash_partitioned_verify_matches_broadcast(self, ray_session):
+        """Forcing candidate_broadcast_limit=0 routes verification through the
+        hash-partitioned pair join; the survivor set must be identical to the
+        broadcast path's."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import minhash_lsh_dedup
+
+        texts, ids = [], []
+        for i in range(60):
+            toks = [f"w{i}x{j}" for j in range(40)]
+            ids.append(i)
+            texts.append(" ".join(toks))
+            if i % 5 == 0:  # near clone, must drop
+                ids.append(1000 + i)
+                texts.append(" ".join(toks[:-1] + ["zz"]))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+        src = ray.data.from_arrow(t, override_num_blocks=4)
+        broadcast = sorted(r["doc_id"] for r in minhash_lsh_dedup(src).take_all())
+        partitioned = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+            src, candidate_broadcast_limit=0).take_all())
+        assert partitioned == broadcast == list(range(60))
 
     def test_simhash_hot_bucket(self, ray_session):
         import ray.data

@@ -48,31 +48,72 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 buckets: int | None = None):
     """Keep the min-id row per exact content hash; deterministic tie-break.
 
-    Shuffle key is a coarse hash bucket (all rows with one content hash share
-    a bucket), and the per-bucket reducer is one vectorized pandas
-    drop_duplicates — ~`buckets` reduce groups total instead of one group per
-    distinct document, which is what keeps the reduce side cheap at corpus
-    scale. Bucket count scales with the cluster (default_reduce_buckets)."""
-    from .distributed import default_reduce_buckets
+    100-TB shape: only SLIM (content_hash, id) sketch rows ride the shuffle —
+    a local per-block pre-dedup first, then a coarse-bucket reduce (all rows
+    of one hash share a bucket; ~`buckets` reduce groups total, never one per
+    distinct document) emits the LOSER ids, and the original dataset is
+    filtered through the distributed anti-join
+    (stages/distributed.filter_out_ids). The full rows — text included —
+    never transit a shuffle; the drop set is dup-rate-sized. Bucket count
+    scales with the cluster (default_reduce_buckets)."""
+    from .distributed import default_reduce_buckets, filter_out_ids
 
     if buckets is None:
         buckets = default_reduce_buckets()
 
-    def hash_and_bucket(batch: pa.Table) -> pa.Table:
-        out = add_content_hash(batch, text_col)
-        hashes = out.column("content_hash").to_pylist()
-        keys = np.fromiter((int(h[:8], 16) % buckets for h in hashes),
-                           dtype=np.int64, count=len(hashes))
-        return out.append_column("_bucket", pa.array(keys, type=pa.int64()))
+    def slim_hash(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+        texts = batch.column(text_col).to_pylist()
+        hashes = [hashlib.sha1((t or "").encode("utf-8")).digest()[:12]
+                  for t in texts]
+        df = pd.DataFrame({"content_hash": hashes,
+                           id_col: batch.column(id_col).to_pylist()})
+        # local pre-dedup: keep the min id per hash inside this block so the
+        # shuffle moves one sketch row per (block, distinct hash) — the block
+        # losers are emitted as definite drops right away
+        df = df.sort_values(["content_hash", id_col], kind="stable")
+        winners = df.drop_duplicates(subset=["content_hash"], keep="first")
+        keys = np.fromiter(
+            (int.from_bytes(h[:8], "little") % buckets
+             for h in winners["content_hash"]),
+            dtype=np.int64, count=len(winners))
+        local_losers = df[df.duplicated(subset=["content_hash"], keep="first")]
+        # local losers are definite drops: route them to a disjoint bucket
+        # range [buckets, 2*buckets) so the reducer passes them through, still
+        # spread across ~buckets reduce groups (no single hot loser bucket)
+        loser_keys = np.fromiter(
+            (buckets + int.from_bytes(h[:8], "little") % buckets
+             for h in local_losers["content_hash"]),
+            dtype=np.int64, count=len(local_losers))
+        out = pa.table({
+            "content_hash": pa.array(
+                list(winners["content_hash"]) + list(local_losers["content_hash"]),
+                type=pa.binary()),
+            id_col: pa.array(
+                list(winners[id_col]) + list(local_losers[id_col]),
+                type=batch.column(id_col).type),
+            "_bucket": pa.array(np.concatenate([keys, loser_keys]),
+                                type=pa.int64()),
+        })
+        return out
 
-    def keep_first(group):
-        g = group.sort_values([("content_hash"), (id_col)])
-        g = g.drop_duplicates(subset=["content_hash"], keep="first")
-        return g.drop(columns=["_bucket"])
+    slim = ds.map_batches(slim_hash, batch_format="pyarrow")
 
-    return hashed.groupby("_bucket").map_groups(keep_first, batch_format="pandas")
+    def bucket_losers(group):
+        import pandas as pd
+
+        if group["_bucket"].iloc[0] >= buckets:  # pre-identified local losers
+            return pd.DataFrame({"drop_id": group[id_col]}).astype(
+                {"drop_id": group[id_col].dtype})
+        g = group.sort_values(["content_hash", id_col], kind="stable")
+        losers = g[g.duplicated(subset=["content_hash"], keep="first")]
+        return pd.DataFrame({"drop_id": losers[id_col]}).astype(
+            {"drop_id": group[id_col].dtype})
+
+    drop_ds = slim.groupby("_bucket").map_groups(
+        bucket_losers, batch_format="pandas")
+    return filter_out_ids(ds, drop_ds, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -152,7 +193,8 @@ def _coarse_from_bucket_str(batch: pa.Table, buckets: int) -> pa.Table:
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.8, shingle_size: int = 3,
-                      max_compare: int = 4, concurrency=None):
+                      max_compare: int = 4, concurrency=None,
+                      candidate_broadcast_limit: int = 2_500_000):
     """Near-dup removal: a doc is dropped when it shares an LSH band bucket
     with an earlier-id doc whose EXACT n-gram Jaccard >= threshold.
 
@@ -160,15 +202,19 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     1. sketch pass: slim (id, band-bucket) rows -> ONE groupby shuffle ->
        per-bucket candidate edges (member, one of its `max_compare` earliest
        bucket peers) — no signatures, no text, no all-pairs blowup.
-    2. verify pass: candidate texts fetched via a filtered scan (the
-       candidate set is the dup-rate-sized minority), broadcast once per
-       worker, edges verified with exact ngram_jaccard — crisper semantics
-       than round 1's signature estimate.
+    2. verify pass: exact ngram_jaccard per candidate edge. Below
+       `candidate_broadcast_limit` edges the candidate texts are fetched via
+       a filtered scan and broadcast once per worker (cheap at normal dup
+       rates). Above it — extreme dup rates where the per-worker candidate
+       table would not fit — the texts resolve through the hash-partitioned
+       pair join (stages/distributed.gather_pair_values): no broadcast, no
+       per-worker copy, memory per task = corpus/buckets.
     3. filter pass: distributed anti-join of the drop ids
        (stages/distributed.filter_out_ids — no driver materialization).
     """
     from .distributed import (_get_broadcast_table, default_reduce_buckets,
-                              fetch_rows_by_ids, filter_out_ids)
+                              fetch_rows_by_ids, filter_out_ids,
+                              gather_pair_values)
 
     n_coarse = default_reduce_buckets()
     sig_ds = ds.map_batches(
@@ -200,10 +246,28 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas") \
         .materialize()
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ds
 
-    import ray.data
+    if n_edges * 2 > candidate_broadcast_limit:
+        # partitioned verify: resolve both endpoint texts per edge through
+        # two co-partitioned shuffles — never a per-worker candidate table
+        pairs = gather_pair_values(ds.select_columns([id_col, text_col]),
+                                   edges, id_col, text_col)
+
+        def verify_pair(batch: pa.Table) -> pa.Table:
+            drops = []
+            for b_id, ta, tb in zip(batch.column("cand_b").to_pylist(),
+                                    batch.column("val_a").to_pylist(),
+                                    batch.column("val_b").to_pylist()):
+                if ngram_jaccard(ta, tb, n=shingle_size) >= jaccard_threshold:
+                    drops.append(b_id)
+            return pa.table({"drop_id": pa.array(
+                drops, type=batch.column("cand_b").type)})
+
+        drop_ds = pairs.map_batches(verify_pair, batch_format="pyarrow")
+        return filter_out_ids(ds, drop_ds, id_col)
 
     cand_ids = edges.map_batches(
         lambda b: pa.table({id_col: pa.array(

@@ -176,6 +176,105 @@ def _anti_join_shuffle(ds, drop_ds, id_col: str, drop_col: str, buckets: int):
         bucket_filter, batch_format="pandas")
 
 
+def gather_pair_values(ds, edges, id_col: str, val_col: str,
+                       a_col: str = "cand_a", b_col: str = "cand_b",
+                       buckets: int | None = None):
+    """Resolve the `val_col` payload for BOTH endpoints of every edge without
+    broadcasting anything: the scale path behind pair verification when the
+    candidate set is too big for fetch_rows_by_ids.
+
+    Two hash-partitioned passes, no driver materialization, no per-worker
+    copy of the candidate table:
+    1. key shuffle — value rows (id, val) and edge-endpoint rows (one per
+       side) co-partition on hash(id); each bucket resolves its endpoints
+       from its LOCAL value slice (memory per task = corpus/buckets values).
+       Shuffled volume: the value column once + two slim rows per edge.
+    2. pair shuffle — resolved endpoint rows co-partition on hash(pair);
+       each bucket zips side-a and side-b into one row per edge.
+       Shuffled volume: two resolved values per edge (candidate-sized).
+
+    Returns a Dataset with columns (a_col, b_col, val_a, val_b)."""
+    import numpy as np
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+    e_schema, d_schema = edges.schema(), ds.schema()
+    id_type = e_schema.types[e_schema.names.index(a_col)]
+    val_type = d_schema.types[d_schema.names.index(val_col)]
+
+    union_schema = pa.schema([
+        pa.field("_key", id_type), pa.field("_pa", id_type),
+        pa.field("_pb", id_type), pa.field("_side", pa.int8()),
+        pa.field("_val", val_type)])
+
+    def tag_values(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(id_col).cast(id_type)
+        t = pa.Table.from_arrays(
+            [ids, pa.nulls(n, id_type), pa.nulls(n, id_type),
+             pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
+             batch.column(val_col).cast(val_type)],
+            schema=union_schema)
+        return t.append_column(
+            "_gb", _hash_bucket_array(ids.to_pylist(), buckets))
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a = batch.column(a_col).cast(id_type)
+        b = batch.column(b_col).cast(id_type)
+        parts = []
+        for key, side in ((a, 1), (b, 2)):
+            t = pa.Table.from_arrays(
+                [key, a, b,
+                 pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
+                 pa.nulls(n, val_type)],
+                schema=union_schema)
+            parts.append(t.append_column(
+                "_gb", _hash_bucket_array(key.to_pylist(), buckets)))
+        return pa.concat_tables(parts) if parts else \
+            union_schema.empty_table().append_column(
+                "_gb", pa.array([], type=pa.int64()))
+
+    unioned = ds.map_batches(tag_values, batch_format="pyarrow").union(
+        edges.map_batches(tag_edges, batch_format="pyarrow"))
+
+    # pandas coerces the null-padded _pa/_pb int columns to float64; restore
+    # the id dtype after filtering so pair ids round-trip exactly
+    pair_cast = {"_pa": "int64", "_pb": "int64"} \
+        if pa.types.is_integer(id_type) else None
+
+    def resolve_bucket(group):
+        vals = group[group["_side"] == 0]
+        lookup = dict(zip(vals["_key"], vals["_val"]))
+        probes = group[group["_side"] != 0].copy()
+        probes["_val"] = probes["_key"].map(lookup)
+        probes = probes.drop(columns=["_key", "_gb"])
+        return probes.astype(pair_cast) if pair_cast else probes
+
+    resolved = unioned.groupby("_gb").map_groups(
+        resolve_bucket, batch_format="pandas")
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        keys = [f"{a}|{b}" for a, b in zip(batch.column("_pa").to_pylist(),
+                                           batch.column("_pb").to_pylist())]
+        return batch.append_column("_pbk", _hash_bucket_array(keys, buckets))
+
+    def zip_pairs(group):
+        import pandas as pd
+
+        # an edge can be proposed by several LSH buckets: dedupe per side so
+        # the merge stays 1:1 per pair
+        a_side = group[group["_side"] == 1].drop_duplicates(subset=["_pa", "_pb"])
+        b_side = group[group["_side"] == 2].drop_duplicates(subset=["_pa", "_pb"])
+        merged = a_side.merge(b_side, on=["_pa", "_pb"], suffixes=("_a", "_b"))
+        return pd.DataFrame({
+            a_col: merged["_pa"], b_col: merged["_pb"],
+            "val_a": merged["_val_a"], "val_b": merged["_val_b"]})
+
+    return resolved.map_batches(tag_pairs, batch_format="pyarrow") \
+        .groupby("_pbk").map_groups(zip_pairs, batch_format="pandas")
+
+
 def fetch_rows_by_ids(ds, id_ds, id_col: str, columns=None,
                       warn_above: int = 5_000_000):
     """Small-result point lookup: scan `ds`, keep rows whose id is in the
