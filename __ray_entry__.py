@@ -67,6 +67,26 @@ def _expect_dir(sf_dir: str) -> str:
     return _corpus_path(sf_dir) + "_expect"
 
 
+def _text_expect_path(sf_dir: str) -> str:
+    """Expectation parquet for text_analysis over `sf_dir`'s documents table
+    (sources/text_expect.py — independent scalar restatement of the operator
+    spec, the non-circular DuckDB side of the comparison). Keyed on the input
+    file's identity + size so a regenerated testdata tier recomputes."""
+    import hashlib
+
+    from wikidata_edit_history_ray.sources.text_expect import \
+        write_text_expectations
+
+    docs = f"{sf_dir}/documents.parquet"
+    key = hashlib.sha1(
+        f"{docs}:{os.path.getsize(docs)}:v1".encode()).hexdigest()[:16]
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = os.path.join(_CACHE_DIR, f"text_expect_{key}.parquet")
+    if not os.path.exists(path):
+        write_text_expectations(docs, path)
+    return path
+
+
 def _docs_ds(sf_dir: str):
     import ray
 
@@ -469,9 +489,11 @@ def _q_text_analysis(sf_dir: str):
     from wikidata_edit_history_ray.stages.text_ops import analyze_text
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    out = analyze_text(ds)
-    return out.select_columns(["doc_id", "detected_lang", "ws_token_count",
-                               "bpe_token_count", "quality_score", "fingerprint"])
+    out = analyze_text(ds).select_columns(
+        ["doc_id", "detected_lang", "ws_token_count", "bpe_token_count",
+         "quality_score", "fingerprint"])
+    # same rounding kernel the expectation parquet stores (text_expect.py)
+    return _round_cols(out, ["quality_score"])
 
 
 def _q_media_features(sf_dir: str):
@@ -964,6 +986,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "embedding_dedup": """
             SELECT vec_id FROM embeddings
+        """,
+        "text_analysis": f"""
+            SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
+                   quality_score, fingerprint
+            FROM read_parquet('{_text_expect_path(sf_dir)}')
         """,
         "ngram_jaccard_pairs": """
             SELECT doc_id + 10000000 AS pair_id,

@@ -26,6 +26,7 @@ SUBSET = [
     "embedding_dedup",
     "ivf_topk",
     "events_type_stats",
+    "text_analysis",
 ]
 
 
@@ -68,7 +69,7 @@ def test_query_matches_oracle(ray_session, contract, con, name):
     pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
 
 
-def test_every_query_has_oracle_or_is_text_analysis(contract):
+def test_every_query_has_oracle(contract):
     queries, oracles = contract
     missing = set(queries) - set(oracles)
-    assert missing == {"text_analysis"}, missing
+    assert missing == set(), missing
