@@ -297,26 +297,66 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # simhash
 # --------------------------------------------------------------------------
 
+# simhash bit i reads bit (8*(i//8) + 7 - i%8) of the token hash — the
+# np.unpackbits(little-endian bytes) layout of the original scalar kernel,
+# kept so hash values stay stable across the vectorized rewrite
+_SIMHASH_SHIFTS = np.array(
+    [8 * (i // 8) + (7 - i % 8) for i in range(64)], dtype=np.uint64)
+_SIMHASH_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash over word tokens for a whole batch: one sha1
+    per UNIQUE token in the batch (shared across docs), then a single
+    bit-matrix gather + per-doc segment reduction — no per-token Python-side
+    numpy calls (the r2 kernel unpacked bits token by token)."""
+    tok_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    vocab: dict = {}
+    flat, counts = [], []
+    for toks in tok_lists:
+        counts.append(len(toks))
+        for tok in toks:
+            idx = vocab.get(tok)
+            if idx is None:
+                idx = len(vocab)
+                vocab[tok] = idx
+            flat.append(idx)
+    n = len(texts)
+    if not vocab:
+        return np.zeros(n, dtype=np.uint64)
+    digests = b"".join(hashlib.sha1(t.encode()).digest()[:8] for t in vocab)
+    h = np.frombuffer(digests, dtype="<u8")
+    pm = (((h[:, None] >> _SIMHASH_SHIFTS) & np.uint64(1)).astype(np.int64)
+          * 2 - 1)  # (vocab, 64) in {-1, +1}
+    V = len(vocab)
+    flat_idx = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    accs = np.empty((n, 64), dtype=np.int64)
+    # per-doc token-count-over-vocab matrix @ sign matrix; chunked over docs
+    # so the dense (docs, vocab) counts stay bounded for huge batch vocabs
+    docs_per_chunk = max(1, 4_000_000 // V)
+    for s in range(0, n, docs_per_chunk):
+        e = min(n, s + docs_per_chunk)
+        lo, hi = offsets[s], offsets[e]
+        k = (seg[lo:hi] - s) * V + flat_idx[lo:hi]
+        cnt = np.bincount(k, minlength=(e - s) * V).reshape(e - s, V)
+        accs[s:e] = cnt @ pm
+    return ((accs > 0).astype(np.uint64) * _SIMHASH_WEIGHTS).sum(
+        axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """Classic 64-bit simhash over word tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in _TOKEN_RE.findall((text or "").lower()):
-        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "little")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        acc += np.where(bits > 0, 1, -1)
-    v = 0
-    for i, x in enumerate(acc):
-        if x > 0:
-            v |= (1 << i)
-    return v
+    """Classic 64-bit simhash over word tokens (scalar wrapper)."""
+    return int(simhash64_batch([text])[0])
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    hashes = [simhash64(t) for t in texts]
+    hashes = simhash64_batch(texts)
     return batch.append_column(
-        "simhash", pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64),
-                            type=pa.int64()))
+        "simhash", pa.array(hashes.astype(np.int64), type=pa.int64()))
 
 
 def _explode_simhash_blocks(batch: pa.Table, text_col: str, id_col: str,
@@ -327,7 +367,7 @@ def _explode_simhash_blocks(batch: pa.Table, text_col: str, id_col: str,
     single shuffle."""
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_pylist()
-    hashes = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    hashes = simhash64_batch(texts)
     width = 64 // n_blocks
     mask = np.uint64((1 << width) - 1)
     out_ids, out_hash, out_bucket = [], [], []
