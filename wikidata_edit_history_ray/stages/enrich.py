@@ -285,31 +285,71 @@ def _qid_bucket(serialized_qid, buckets: int) -> int:
 
 
 def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
-    """Lay the label dimension out as hash(qid)-partitioned parquet.
+    """Lay the label dimension out as hash(qid)-partitioned parquet — a Ray
+    pipeline, not a driver loop: bucket-tag via map_batches, then one
+    groupby-bucket task per bucket sorts and writes its file. Driver heap
+    stays flat at any dimension size (the reference's full dimension is ~100M
+    labels, scripts/feature_creation.py:1320-1356).
 
-    `labels`: {qid: (label, description)} dict or an Arrow table with columns
-    (qid, label, description). One file per bucket under out_dir."""
+    `labels`: a Ray Dataset or Arrow table with columns
+    (qid, label, description), or a {qid: (label, description)} dict (small
+    dimensions / tests). One file per non-empty bucket under out_dir,
+    deterministically sorted by qid. Workers write directly to `out_dir`,
+    which must be on a filesystem every node can reach (same contract as the
+    multi-sink)."""
     import os
 
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import ray.data
 
     if isinstance(labels, dict):
-        rows = [(q, v[0], v[1]) for q, v in labels.items()]
+        ds = ray.data.from_arrow(pa.table({
+            "qid": pa.array(list(labels), type=pa.string()),
+            "label": pa.array([v[0] or "" for v in labels.values()],
+                              type=pa.string()),
+            "description": pa.array([v[1] or "" for v in labels.values()],
+                                    type=pa.string()),
+        }))
+    elif isinstance(labels, pa.Table):
+        ds = ray.data.from_arrow(labels)
     else:
-        rows = list(zip(labels.column("qid").to_pylist(),
-                        labels.column("label").to_pylist(),
-                        labels.column("description").to_pylist()))
+        ds = labels
     os.makedirs(out_dir, exist_ok=True)
-    bucketed: dict = {b: [] for b in range(buckets)}
-    for q, lab, desc in rows:
-        bucketed[_qid_bucket(q, buckets)].append((q, lab or "", desc or ""))
-    for b, brows in bucketed.items():
-        t = pa.table({
-            "qid": pa.array([r[0] for r in brows], type=pa.string()),
-            "label": pa.array([r[1] for r in brows], type=pa.string()),
-            "description": pa.array([r[2] for r in brows], type=pa.string()),
+
+    def tag(batch: pa.Table) -> pa.Table:
+        qids = batch.column("qid").to_pylist()
+        arr = np.fromiter((_qid_bucket(q, buckets) for q in qids),
+                          dtype=np.int64, count=len(qids))
+        return pa.table({
+            "qid": batch.column("qid").cast(pa.string()),
+            "label": pc.fill_null(batch.column("label").cast(pa.string()), ""),
+            "description": pc.fill_null(
+                batch.column("description").cast(pa.string()), ""),
+            "_b": pa.array(arr, type=pa.int64()),
         })
-        pq.write_table(t, os.path.join(out_dir, f"labels-{b:05d}.parquet"))
+
+    def write_bucket(group):
+        import pandas as pd
+
+        b = int(group["_b"].iloc[0])
+        g = group.sort_values("qid", kind="mergesort")
+        t = pa.table({
+            "qid": pa.array(g["qid"], type=pa.string()),
+            "label": pa.array(g["label"], type=pa.string()),
+            "description": pa.array(g["description"], type=pa.string()),
+        })
+        path = os.path.join(out_dir, f"labels-{b:05d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+    # materialize the tiny per-bucket manifest — this is what runs the writes
+    ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(write_bucket, batch_format="pandas") \
+        .materialize()
     return out_dir
 
 
