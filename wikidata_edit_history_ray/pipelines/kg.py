@@ -73,10 +73,11 @@ def run_extraction(input_path: str, output_dir: str,
     """
     import ray.data
 
-    from ..stages.extract import list_partition_specs
+    from ..stages.extract import list_partition_specs, resolve_filesystem
 
     del documents_ds, batch_size
-    os.makedirs(output_dir, exist_ok=True)
+    out_fs, out_root = resolve_filesystem(output_dir)
+    out_fs.create_dir(out_root, recursive=True)
     specs = list_partition_specs(
         input_path, target_rows_per_partition=target_rows_per_partition)
     ds = ray.data.from_items(specs)
@@ -94,7 +95,7 @@ def run_extraction(input_path: str, output_dir: str,
     mat = manifest.materialize()
     # persist the run-level manifest next to the outputs (throughput accounting,
     # the analog of the reference's per-file metrics CSV, scripts/file_parser.py:393-417)
-    mat.write_parquet(os.path.join(output_dir, "_run_manifest"))
+    mat.write_parquet(f"{output_dir.rstrip('/')}/_run_manifest")
     return mat
 
 

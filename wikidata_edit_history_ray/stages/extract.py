@@ -27,6 +27,25 @@ from .schemas import ERRORS_SCHEMA, ROUTING_COLS, TABLE_SCHEMAS
 _ROUTING_NAMES = [name for name, _ in ROUTING_COLS]
 
 
+def resolve_filesystem(path):
+    """(pyarrow FileSystem, fs-internal path) for a path or URI. Bare paths
+    resolve to LocalFileSystem, `file://` / `s3://` / any pyarrow-registered
+    scheme to that filesystem — the location transparency the reference got
+    from its Postgres sink (scripts/utils.py:151-241)."""
+    from pyarrow import fs as pafs
+
+    p = str(path)
+    if "://" in p:
+        return pafs.FileSystem.from_uri(p)
+    return pafs.LocalFileSystem(), p
+
+
+def _fs_exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
 _BROADCAST_CACHE: dict = {}
 
 
@@ -200,6 +219,13 @@ class MultiSinkExtractor(ChangeExtractor):
     timings) — the tiny dataset the driver consumes, so the big outputs never
     transit the object store. A partition whose manifest file exists is
     skipped wholesale (resume path).
+
+    `output_dir` (and spec input files) may be a local path OR any
+    pyarrow-filesystem URI (`file://`, `s3://`, ...): on a multi-node
+    cluster the sink writes to shared/object storage, not per-node disks.
+    The commit point stays the manifest file: write-tmp-then-rename on
+    filesystems with atomic rename (local), a single atomic PUT on object
+    stores.
     """
 
     def __init__(self, output_dir: str, config: dict | None = None,
@@ -208,36 +234,46 @@ class MultiSinkExtractor(ChangeExtractor):
         super().__init__(config, property_labels, sa_types, ao_types, emit="all")
         self.output_dir = output_dir
         self.compression = compression
+        self._fs = None  # resolved lazily, once per worker
+
+    def _out_fs(self):
+        if self._fs is None:
+            self._fs = resolve_filesystem(self.output_dir)
+        return self._fs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
 
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
+        fs, out_root = self._out_fs()
+        atomic_rename = isinstance(fs, pafs.LocalFileSystem)
         rows = []
         for spec in batch.to_pylist():
             path, rg, num_rows = spec["file"], spec["row_group"], spec["num_rows"]
             n_rgs = spec.get("num_row_groups") or 1
+            in_fs, in_path = resolve_filesystem(path)
             # content signal (file size) in the fingerprint: regenerating an
             # input in place with the same name/row-group layout but different
             # contents must NOT silently reuse stale partition outputs
-            fsize = os.path.getsize(path)
+            fsize = in_fs.get_file_info(in_path).size
             fingerprint = hashlib.sha1(
-                f"{os.path.basename(path)}:{rg}:{n_rgs}:{num_rows}:{fsize}"
+                f"{in_path.rsplit('/', 1)[-1]}:{rg}:{n_rgs}:{num_rows}:{fsize}"
                 .encode()).hexdigest()[:16]
             part_id = f"part-{fingerprint}"
-            manifest_dir = os.path.join(self.output_dir, "_manifest")
-            manifest_path = os.path.join(manifest_dir, f"{part_id}.json")
+            manifest_dir = f"{out_root}/_manifest"
+            manifest_path = f"{manifest_dir}/{part_id}.json"
 
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    m = json.load(f)
+            if _fs_exists(fs, manifest_path):
+                with fs.open_input_stream(manifest_path) as f:
+                    m = json.loads(f.read())
                 m["resumed"] = True
                 rows.append(m)
                 continue
 
             t0 = time.time()
-            docs = pq.ParquetFile(path).read_row_groups(
+            docs = pq.ParquetFile(in_path, filesystem=in_fs).read_row_groups(
                 list(range(rg, rg + n_rgs)))
             import pyarrow.compute as pc
 
@@ -251,17 +287,17 @@ class MultiSinkExtractor(ChangeExtractor):
                 rows_per_table[name] = table.num_rows
                 if table.num_rows == 0:
                     continue
-                tdir = os.path.join(self.output_dir, name)
-                os.makedirs(tdir, exist_ok=True)
-                pq.write_table(table, os.path.join(tdir, f"{part_id}.parquet"),
-                               compression=self.compression)
+                tdir = f"{out_root}/{name}"
+                fs.create_dir(tdir, recursive=True)
+                pq.write_table(table, f"{tdir}/{part_id}.parquet",
+                               filesystem=fs, compression=self.compression)
             if errors:
-                edir = os.path.join(self.output_dir, "errors")
-                os.makedirs(edir, exist_ok=True)
+                edir = f"{out_root}/errors"
+                fs.create_dir(edir, recursive=True)
                 pq.write_table(
                     rows_to_table_errors(errors),
-                    os.path.join(edir, f"{part_id}.parquet"),
-                    compression=self.compression)
+                    f"{edir}/{part_id}.parquet",
+                    filesystem=fs, compression=self.compression)
                 rows_per_table["errors"] = len(errors)
             write_seconds = time.time() - t0
 
@@ -275,11 +311,18 @@ class MultiSinkExtractor(ChangeExtractor):
                 "write_seconds": write_seconds,
                 "resumed": False,
             }
-            os.makedirs(manifest_dir, exist_ok=True)
-            tmp = manifest_path + f".tmp{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-            os.replace(tmp, manifest_path)  # atomic: manifest is the commit point
+            fs.create_dir(manifest_dir, recursive=True)
+            payload = json.dumps(m).encode()
+            if atomic_rename:
+                tmp = manifest_path + f".tmp{os.getpid()}"
+                with fs.open_output_stream(tmp) as f:
+                    f.write(payload)
+                fs.move(tmp, manifest_path)  # atomic: manifest is the commit point
+            else:
+                # object stores: a single PUT is already atomic (no partial
+                # objects are ever visible), so write the commit marker directly
+                with fs.open_output_stream(manifest_path) as f:
+                    f.write(payload)
             rows.append(m)
         return self._manifest_rows(rows)
 
@@ -302,20 +345,28 @@ def list_partition_specs(input_path: str,
     until the target: at corpus scale, row-group-sized partitions mean tens
     of thousands of small output files per table (write-bound); coarser
     partitions trade resume granularity for sink efficiency. Both shapes stay
-    deterministic (pure function of the input footers)."""
-    import os
+    deterministic (pure function of the input footers).
 
+    `input_path` may be a local path or a pyarrow-filesystem URI; spec file
+    entries keep the URI scheme so downstream tasks re-resolve the same
+    filesystem."""
+    from pyarrow import fs as pafs
     import pyarrow.parquet as pq
 
-    if os.path.isdir(input_path):
-        files = sorted(
-            os.path.join(input_path, f) for f in os.listdir(input_path)
-            if f.endswith(".parquet"))
+    fs, root = resolve_filesystem(input_path)
+    # keep the scheme prefix so spec['file'] round-trips through resolve
+    p = str(input_path)
+    prefix = p[:-len(root)] if "://" in p and p.endswith(root) else ""
+    info = fs.get_file_info(root)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(root)
+        files = sorted(f.path for f in fs.get_file_info(sel)
+                       if f.path.endswith(".parquet"))
     else:
-        files = [input_path]
+        files = [root]
     specs = []
     for f in files:
-        md = pq.read_metadata(f)
+        md = pq.read_metadata(f, filesystem=fs)
         pending, pending_rows = [], 0
         for rg in range(md.num_row_groups):
             pending.append(rg)
@@ -323,7 +374,7 @@ def list_partition_specs(input_path: str,
             if (target_rows_per_partition is None
                     or pending_rows >= target_rows_per_partition
                     or rg == md.num_row_groups - 1):
-                specs.append({"file": f, "row_group": pending[0],
+                specs.append({"file": prefix + f, "row_group": pending[0],
                               "num_row_groups": len(pending),
                               "num_rows": pending_rows})
                 pending, pending_rows = [], 0
