@@ -116,3 +116,48 @@ class TestTrailingRestore:
         by = {(r["revision_id"], r["change_target"]): r for r in rows(out)}
         # A->B ... ->A with intermediates but no restore/rollback comment
         assert by[(r_fwd, "")]["is_reverted"] == 0
+
+
+class TestHotDocMemoryBound:
+    def test_20k_revision_doc_bounded_heap_and_time(self):
+        """Per-doc memory model (BASELINE.md): the revert scan holds one
+        document's change rows + posting lists + flag dicts — O(changes in
+        the doc), independent of corpus size. A 20k-revision single-statement
+        doc (the pathological pv-group shape: every change in ONE posting
+        list) must tag within a small constant factor of its own row
+        footprint and in near-linear time."""
+        import time
+        import tracemalloc
+
+        from wikidata_edit_history_ray.core.revert import tag_reverted_edits
+
+        n = 20_000
+        changes, tuples = [], []
+        for i in range(n):
+            # alternating A->B / B->A pairs: every odd row reverts its
+            # predecessor, so the flag dict actually fills up
+            old, new = ("A", "B") if i % 2 == 0 else ("B", "A")
+            ts = f"2020-01-01T{(i // 3600) % 24:02d}:{(i // 60) % 60:02d}:{i % 60:02d}Z"
+            changes.append({
+                "revision_id": i, "change_target": "", "action": "UPDATE",
+                "old_value": old, "new_value": new, "timestamp": ts,
+                "comment": ""})
+            t = [None] * 9
+            t[0], t[1], t[3], t[8] = i, 1, "sid", ""
+            tuples.append(tuple(t))
+
+        tracemalloc.start()
+        t0 = time.time()
+        final, st = tag_reverted_edits({(1, "sid", ""): changes}, tuples, 86400)
+        wall = time.time() - t0
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+
+        assert len(final) == n
+        # chained A->B/B->A: every row except the last reverts its
+        # predecessor (reversions may themselves be reverted)
+        assert st["num_reversions"] == n - 1
+        # bound: well under a worker heap — 20k changes must stay in the
+        # tens-of-MB range (the input dicts alone are ~8 MB)
+        assert peak < 100 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+        assert wall < 30, f"wall {wall:.1f}s"

@@ -25,9 +25,19 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "image decode requires PIL/cv2 (not in this container); "
-        "deterministic fake used instead — see DecodeStage(fake=True)")
+    """Real decode seam: PIL when present (tests/test_media.py proves the
+    stub->real swap wherever PIL exists, skip-marked here), a clear
+    NotImplementedError when the container lacks codecs."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL (not in this container); "
+            "deterministic fake used instead — pass fake=True") from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _decode_image_fake(payload: bytes, h: int = 32, w: int = 32) -> np.ndarray:
