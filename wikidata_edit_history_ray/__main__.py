@@ -116,10 +116,13 @@ def cmd_ingest(args):
 def cmd_gen_corpus(args):
     from .sources.corpus import write_corpus_parquet
 
+    if args.chunk_docs:
+        _ensure_ray()  # chunked generation parallelizes as Ray tasks
     path = write_corpus_parquet(
         args.path, args.docs, seed=args.seed,
         hot_doc_revisions=args.hot_revisions,
-        hot_doc_every=args.hot_every or 0)
+        hot_doc_every=args.hot_every or 0,
+        chunk_docs=args.chunk_docs)
     print(json.dumps({"path": path, "docs": args.docs}))
 
 
@@ -162,6 +165,8 @@ def main(argv=None):
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--hot-revisions", type=int, default=0)
     g.add_argument("--hot-every", type=int, default=0)
+    g.add_argument("--chunk-docs", type=int, default=None,
+                   help="chunked (Ray-parallel) generation for huge corpora")
     g.set_defaults(fn=cmd_gen_corpus)
 
     args = p.parse_args(argv)

@@ -665,16 +665,18 @@ def build_doc(qid: str, rng: random.Random, n_revisions: int | None = None,
 
 
 def make_corpus(num_docs: int, seed: int = 42, hot_doc_revisions: int = 0,
-                hot_doc_every: int = 0):
+                hot_doc_every: int = 0, qid_offset: int = 0):
     """(docs pyarrow.Table, expectations dict) for `num_docs` documents.
 
     hot_doc_every > 0 plants a hot document (hot_doc_revisions revisions on few
-    properties) every N docs to exercise skew handling.
+    properties) every N docs to exercise skew handling. qid_offset shifts the
+    entity-id range so independently generated chunks never collide (chunked /
+    parallel generation of multi-million-doc corpora).
     """
     rng = random.Random(seed)
     sims = []
     for i in range(num_docs):
-        qid = f"Q{10 + i}"
+        qid = f"Q{10 + qid_offset + i}"
         if hot_doc_every and i > 0 and i % hot_doc_every == 0 and hot_doc_revisions:
             sim = EntitySim(qid, rng, rev_base=int(qid[1:]) * 1000)
             sim.op_create_entity(type_qids=[rng.choice(OTHER_TYPES)], n_statements=2,
@@ -787,7 +789,8 @@ def write_expectations(expect_dir: str, expectations: dict) -> str:
 
 def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
                          n_shards: int | None = None,
-                         expect_dir: str | None = None, **kw) -> str:
+                         expect_dir: str | None = None,
+                         chunk_docs: int | None = None, **kw) -> str:
     """Materialize a corpus to parquet; returns the path.
 
     With n_shards (or when num_docs is large) writes a DIRECTORY of shard
@@ -796,10 +799,22 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
     yields ~1 input block no matter how many cores you have).
 
     With expect_dir, the construction-time ground-truth tables are persisted
-    there as typed parquet (the oracle side of the driver comparison)."""
+    there as typed parquet (the oracle side of the driver comparison).
+
+    With chunk_docs, generation runs CHUNKED (qid_offset keeps entity ids
+    disjoint) — as parallel Ray tasks when a Ray session exists, else
+    sequentially — each chunk writing its own shard files: multi-million-doc
+    corpora generate at cluster speed with flat driver memory. Expectations
+    are a small-tier feature and are not supported chunked."""
     import os
 
     import pyarrow.parquet as pq
+
+    if chunk_docs and num_docs > chunk_docs:
+        if expect_dir:
+            raise ValueError("expect_dir is not supported with chunked "
+                             "generation (expectations are a small-tier tool)")
+        return _write_corpus_chunked(path, num_docs, seed, chunk_docs, kw)
 
     table, expectations = make_corpus(num_docs, seed=seed, **kw)
     if expect_dir:
@@ -823,4 +838,47 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
             break
         pq.write_table(shard, os.path.join(path, f"shard-{s:05d}.parquet"),
                        row_group_size=100)
+    return path
+
+
+def _gen_corpus_chunk(path: str, chunk_idx: int, offset: int, n: int,
+                      seed: int, kw: dict) -> int:
+    """Generate one chunk and write it as ~1250-doc shard files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    table, _ = make_corpus(n, seed=seed + offset, qid_offset=offset, **kw)
+    per = 1250
+    for s in range((table.num_rows + per - 1) // per):
+        shard = table.slice(s * per, per)
+        pq.write_table(
+            shard,
+            os.path.join(path, f"shard-{chunk_idx:04d}-{s:04d}.parquet"),
+            row_group_size=100)
+    return table.num_rows
+
+
+def _write_corpus_chunked(path: str, num_docs: int, seed: int,
+                          chunk_docs: int, kw: dict) -> str:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    chunks = [(ci, off, min(chunk_docs, num_docs - off))
+              for ci, off in enumerate(range(0, num_docs, chunk_docs))]
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:
+        have_ray = False
+    if have_ray:
+        import ray
+
+        gen = ray.remote(_gen_corpus_chunk)
+        ray.get([gen.remote(path, ci, off, n, seed, kw)
+                 for ci, off, n in chunks])
+    else:
+        for ci, off, n in chunks:
+            _gen_corpus_chunk(path, ci, off, n, seed, kw)
     return path
