@@ -6,9 +6,11 @@
 operator expressible in ANSI SQL over the pre-registered testdata views
 (region nation customer supplier part orders lineitem events documents
 embeddings). KG-pipeline queries run over the deterministic synthetic
-interleaved-document corpus (BASELINE.json input_hint shape) and carry no SQL
-oracle — the pytest conformance suite covers them against the
-construction-time ground truth instead.
+interleaved-document corpus (BASELINE.json input_hint shape); their oracles
+read the construction-time ground-truth parquet the generator persists, and
+text_analysis reads the independent spec-restatement expectations
+(sources/text_expect.py) — every queries() entry carries an oracle_sql()
+entry.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
