@@ -161,12 +161,10 @@ def materialize_graph(value_change_ds, salt_buckets: int = 0):
     includes value_id (statement id); salt_buckets adds hash salting on top
     for pathological single-statement edit storms.
     """
-    import hashlib
-
     import numpy as np
     import pyarrow as pa
 
-    from ..stages.distributed import default_reduce_buckets
+    from ..stages.distributed import default_reduce_buckets, salt_from_columns
 
     key_cols = ["entity_id", "property_id", "value_id"]
     buckets = salt_buckets or default_reduce_buckets()
@@ -178,14 +176,8 @@ def materialize_graph(value_change_ds, salt_buckets: int = 0):
             df = df.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
         df = df[key_cols + ["revision_id", "timestamp", "action", "new_value",
                             "new_datatype", "doc_id"]]
-        if len(df):
-            key = df[key_cols].astype(str).agg("|".join, axis=1)
-            salts = np.fromiter(
-                (int.from_bytes(hashlib.sha1(k.encode()).digest()[:4],
-                                "little") % buckets for k in key),
-                dtype=np.int64, count=len(df))
-        else:
-            salts = np.array([], dtype=np.int64)
+        salts = salt_from_columns(df, key_cols, buckets) if len(df) \
+            else np.array([], dtype=np.int64)
         return pa.Table.from_pandas(df, preserve_index=False).append_column(
             "_salt", pa.array(salts, type=pa.int64()))
 
@@ -216,12 +208,10 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
     instead of hammering one. A local per-block dedup runs first so the
     shuffle moves each block's distinct keys only.
     """
-    import hashlib
-
     import numpy as np
     import pyarrow as pa
 
-    from ..stages.distributed import default_reduce_buckets
+    from ..stages.distributed import default_reduce_buckets, salt_from_columns
 
     buckets = salt_buckets or default_reduce_buckets()
 
@@ -231,14 +221,8 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
         df = batch.to_pandas()
         df = df.drop_duplicates(subset=pk_cols, keep="first")
         out = pa.Table.from_pandas(df, preserve_index=False)
-        if len(df):
-            key = df[pk_cols].astype(str).agg("|".join, axis=1)
-            salts = np.fromiter(
-                (int.from_bytes(hashlib.sha1(k.encode()).digest()[:4],
-                                "little") % buckets for k in key),
-                dtype=np.int64, count=len(df))
-        else:
-            salts = np.array([], dtype=np.int64)
+        salts = salt_from_columns(df, pk_cols, buckets) if len(df) \
+            else np.array([], dtype=np.int64)
         return out.append_column("_salt", pa.array(salts, type=pa.int64()))
 
     ds = ds.map_batches(drop_local_dupes, batch_format="pyarrow")

@@ -116,19 +116,38 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
 
 def _hash_bucket_array(values, buckets: int) -> pa.Array:
     """Process-stable id-hash buckets (Python's str hash is salted per
-    process, which would scatter the two join sides into different buckets)."""
-    import hashlib
-
+    process, which would scatter the two join sides into different buckets).
+    Vectorized: ints bucket directly; strings through pandas' fixed-key
+    siphash (hash_pandas_object — deterministic across processes)."""
     import numpy as np
+    import pandas as pd
+    from pandas.util import hash_pandas_object
 
-    def h(v):
-        if isinstance(v, (int, np.integer)):
-            return int(v) % buckets
-        d = hashlib.sha1(str(v).encode("utf-8")).digest()
-        return int.from_bytes(d[:8], "little") % buckets
+    if len(values) == 0:
+        return pa.array([], type=pa.int64())
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        out = arr.astype(np.int64) % buckets
+    else:
+        h = hash_pandas_object(pd.Series(values, dtype=object).astype(str),
+                               index=False).to_numpy()
+        out = (h % np.uint64(buckets)).astype(np.int64)
+    return pa.array(out, type=pa.int64())
 
-    return pa.array(np.fromiter((h(v) for v in values), dtype=np.int64,
-                                count=len(values)), type=pa.int64())
+
+def salt_from_columns(df, cols, buckets: int):
+    """Deterministic per-row salt from a composite key: column-wise fixed-key
+    hashes mixed with a 64-bit LCG step — vectorized, process-stable, every
+    duplicate of a key lands in the same bucket on every worker."""
+    import numpy as np
+    from pandas.util import hash_pandas_object
+
+    acc = np.zeros(len(df), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            acc = acc * np.uint64(6364136223846793005) + \
+                hash_pandas_object(df[c], index=False).to_numpy()
+    return (acc % np.uint64(buckets)).astype(np.int64)
 
 
 def _anti_join_shuffle(ds, drop_ds, id_col: str, drop_col: str, buckets: int):
