@@ -35,27 +35,41 @@ def _partial_property_counts(batch: pa.Table) -> pa.Table:
 def property_stats(value_change_ds):
     """Per-property: distinct entity count + change counts by action (A2).
 
-    Two-phase: block-local combine on (property_id, entity_id), one shuffle on
-    that composite key, then a cheap per-property rollup of the (already tiny)
-    per-entity partials.
+    ONE shuffle: block-local combine to (property_id, entity_id) partials,
+    a coarse hash-bucket groupby on property_id (all partials of a property
+    share a bucket; ~buckets reduce groups, not one per property), and a
+    vectorized per-bucket pandas rollup that sums the partials and counts
+    distinct entities (`nunique` over partial rows — exact, because the
+    combine key includes entity_id). The r2 version paid two Aggregate
+    shuffles for the same distinct count.
     """
-    from ray.data.aggregate import Count, Sum
+    from ..stages.distributed import default_reduce_buckets
+
+    buckets = default_reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pids = np.asarray(batch.column("property_id").to_pylist(),
+                          dtype=np.int64)
+        return batch.append_column(
+            "_pb", pa.array(pids % buckets, type=pa.int64()))
+
+    def rollup(group):
+        g = group.groupby("property_id", sort=False)
+        out = g.agg(num_changes=("num_changes", "sum"),
+                    num_creates=("num_creates", "sum"),
+                    num_deletes=("num_deletes", "sum"),
+                    num_updates=("num_updates", "sum"))
+        out.insert(0, "num_entities", g["entity_id"].nunique())
+        return out.reset_index()[
+            ["property_id", "num_entities", "num_changes", "num_creates",
+             "num_deletes", "num_updates"]]
 
     partial = value_change_ds.map_batches(
         _partial_property_counts, batch_format="pyarrow")
-    per_entity = partial.groupby(["property_id", "entity_id"]).aggregate(
-        Sum("num_changes", alias_name="num_changes"),
-        Sum("num_creates", alias_name="num_creates"),
-        Sum("num_deletes", alias_name="num_deletes"),
-        Sum("num_updates", alias_name="num_updates"),
-    )
-    return per_entity.groupby("property_id").aggregate(
-        Count(alias_name="num_entities"),
-        Sum("num_changes", alias_name="num_changes"),
-        Sum("num_creates", alias_name="num_creates"),
-        Sum("num_deletes", alias_name="num_deletes"),
-        Sum("num_updates", alias_name="num_updates"),
-    )
+    return partial.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(rollup, batch_format="pandas")
 
 
 def entity_type_stats(entity_stats_ds, type_labels=None):
