@@ -157,3 +157,42 @@ class TestDedupSkew:
                       "embedding": [v.tolist() for v in vecs]})
         out = embedding_dedup(ray.data.from_arrow(t), cosine_threshold=0.999)
         assert sorted(r["vec_id"] for r in out.take_all()) == list(range(50))
+
+
+class TestExactDedupHostile:
+    def test_all_duplicates_collapse_to_one(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import exact_dedup
+
+        n = 5000
+        t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                      "text": ["same text"] * n})
+        out = exact_dedup(ray.data.from_arrow(t, override_num_blocks=8))
+        assert [r["doc_id"] for r in out.take_all()] == [0]
+
+    def test_no_duplicates_passthrough(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import exact_dedup
+
+        t = pa.table({"doc_id": pa.array(range(100), type=pa.int64()),
+                      "text": [f"t{i}" for i in range(100)]})
+        out = exact_dedup(ray.data.from_arrow(t, override_num_blocks=4))
+        assert sorted(r["doc_id"] for r in out.take_all()) == list(range(100))
+
+    def test_cross_block_duplicates_min_id_wins(self, ray_session):
+        """Duplicates split across blocks: the local pre-dedup emits block
+        losers, the bucket reduce picks the global min id."""
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import exact_dedup
+
+        ids = list(range(400))
+        texts = [f"dup{i % 7}" for i in ids]  # 7 distinct texts, everywhere
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+        out = exact_dedup(ray.data.from_arrow(t, override_num_blocks=16))
+        assert sorted(r["doc_id"] for r in out.take_all()) == list(range(7))

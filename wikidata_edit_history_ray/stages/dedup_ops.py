@@ -506,28 +506,30 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     from .distributed import default_reduce_buckets, filter_out_ids
 
     def add_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-        ids = batch.column(id_col)
-        if vecs.size == 0:
-            return pa.table({id_col: ids,
-                             vec_col: batch.column(vec_col),
+        ids = batch.column(id_col).combine_chunks()
+        vec_arr = batch.column(vec_col).combine_chunks()
+        n = len(ids)
+        if n == 0:
+            return pa.table({id_col: ids, vec_col: vec_arr,
                              "lsh_bucket": pa.array([], type=pa.int64())})
-        out_id, out_vec, out_bucket = [], [], []
-        id_list = ids.to_pylist()
-        vec_list = batch.column(vec_col).to_pylist()
+        dim = len(vec_arr[0])
+        # zero-copy flat view of the list<float> column -> (n, dim) matrix
+        vecs = vec_arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float32).reshape(n, dim)
+        keys = np.empty((num_tables, n), dtype=np.int64)
         for t in range(num_tables):
             rng = np.random.RandomState(seed + 1000 * t)
-            planes = rng.randn(vecs.shape[1], num_planes).astype(np.float32)
+            planes = rng.randn(dim, num_planes).astype(np.float32)
             bits = (vecs @ planes) > 0
-            keys = bits.dot(1 << np.arange(num_planes)).astype(np.int64)
-            keys = keys + (t << num_planes)  # table id in the high bits
-            out_id.extend(id_list)
-            out_vec.extend(vec_list)
-            out_bucket.extend(keys.tolist())
-        return pa.table({id_col: pa.array(out_id, type=ids.type),
-                         vec_col: pa.array(out_vec,
-                                           type=batch.column(vec_col).type),
-                         "lsh_bucket": pa.array(out_bucket, type=pa.int64())})
+            keys[t] = bits.dot(1 << np.arange(num_planes)).astype(np.int64) \
+                + (t << num_planes)  # table id in the high bits
+        # replicate rows num_tables times via a vectorized take — no Python
+        # list materialization of the vectors
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), num_tables))
+        return pa.table({id_col: ids.take(idx),
+                         vec_col: vec_arr.take(idx),
+                         "lsh_bucket": pa.array(keys.reshape(-1),
+                                                type=pa.int64())})
 
     bds = ds.select_columns([id_col, vec_col]).map_batches(
         add_buckets, batch_format="pyarrow")
