@@ -115,17 +115,29 @@ def run_enrichment(output_dir: str, closure_dir: str | None = None,
     'st:all-MiniLM-L6-v2' + num_gpus=1 reproduces the reference's GPU model.
     """
     import ray.data
+    from pyarrow import fs as pafs
 
     from ..stages.enrich import (enrich_entity_features,
                                  enrich_entity_features_partitioned,
                                  enrich_text_features)
+    from ..stages.extract import resolve_filesystem
+
+    fs, root = resolve_filesystem(output_dir)
+    base = output_dir.rstrip("/")
+
+    def is_dir(name):
+        return fs.get_file_info(f"{root}/{name}").type == pafs.FileType.Directory
+
+    def is_empty(name):
+        if not is_dir(name):
+            return True
+        return not fs.get_file_info(pafs.FileSelector(f"{root}/{name}"))
 
     results = {}
-    fe_dir = os.path.join(output_dir, "features_entity")
-    if os.path.isdir(fe_dir):
-        out_dir = os.path.join(output_dir, "features_entity_enriched")
-        if not os.path.isdir(out_dir) or not os.listdir(out_dir):
-            ds = ray.data.read_parquet(fe_dir)
+    if is_dir("features_entity"):
+        out_dir = f"{base}/features_entity_enriched"
+        if is_empty("features_entity_enriched"):
+            ds = ray.data.read_parquet(f"{base}/features_entity")
             if labels_dir:
                 enriched = enrich_entity_features_partitioned(
                     ds, labels_dir, closure_dir=closure_dir,
@@ -137,11 +149,10 @@ def run_enrichment(output_dir: str, closure_dir: str | None = None,
                     concurrency=concurrency)
             enriched.write_parquet(out_dir)
         results["features_entity_enriched"] = out_dir
-    ft_dir = os.path.join(output_dir, "features_text")
-    if os.path.isdir(ft_dir):
-        out_dir = os.path.join(output_dir, "features_text_enriched")
-        if not os.path.isdir(out_dir) or not os.listdir(out_dir):
-            ds = ray.data.read_parquet(ft_dir)
+    if is_dir("features_text"):
+        out_dir = f"{base}/features_text_enriched"
+        if is_empty("features_text_enriched"):
+            ds = ray.data.read_parquet(f"{base}/features_text")
             enrich_text_features(ds, embedder=embedder, num_gpus=num_gpus,
                                  concurrency=concurrency).write_parquet(out_dir)
         results["features_text_enriched"] = out_dir
