@@ -498,6 +498,22 @@ def _q_text_analysis(sf_dir: str):
     return _round_cols(out, ["quality_score"])
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: assign every document to a 512-token training pack
+    by its position in the doc_id-ordered token stream (distributed prefix
+    sum — range partition + per-range offset broadcast)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.packing import pack_sequences
+    from wikidata_edit_history_ray.stages.text_ops import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    toks = ds.map_batches(token_counts, batch_format="pyarrow") \
+        .select_columns(["doc_id", "ws_token_count"])
+    return pack_sequences(toks, token_col="ws_token_count", max_tokens=512)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -755,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "text_analysis": _q_text_analysis,
+        "pack_sequences": _q_pack_sequences,
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
@@ -993,6 +1010,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
                    quality_score, fingerprint
             FROM read_parquet('{_text_expect_path(sf_dir)}')
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '\\S+'))::BIGINT
+                         AS ws_token_count
+              FROM documents)
+            SELECT doc_id, ws_token_count,
+                   CAST(FLOOR((SUM(ws_token_count) OVER (
+                                 ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+                               - ws_token_count) / 512.0) AS BIGINT) AS pack_id
+            FROM t
         """,
         "ngram_jaccard_pairs": """
             SELECT doc_id + 10000000 AS pair_id,

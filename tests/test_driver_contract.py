@@ -27,6 +27,7 @@ SUBSET = [
     "ivf_topk",
     "events_type_stats",
     "text_analysis",
+    "pack_sequences",
 ]
 
 

@@ -345,3 +345,51 @@ class TestMediaResizeAndFrames:
         assert infer_media_type("x.mp3") == "audio"
         assert infer_media_type("x.webm") == "video"
         assert infer_media_type("x.bin") == "binary"
+
+
+class TestPackSequences:
+    def test_matches_window_oracle(self, ray_session, docs_ds):
+        import duckdb
+
+        from wikidata_edit_history_ray.stages.packing import pack_sequences
+        from wikidata_edit_history_ray.stages.text_ops import token_counts
+
+        toks = docs_ds.map_batches(token_counts, batch_format="pyarrow") \
+            .select_columns(["doc_id", "ws_token_count"])
+        got = sorted((r["doc_id"], r["pack_id"])
+                     for r in pack_sequences(toks, "ws_token_count", 256).take_all())
+        exp = duckdb.sql(f"""
+            WITH t AS (SELECT doc_id,
+                              length(regexp_extract_all(text, '\\S+'))::BIGINT tok
+                       FROM read_parquet('{SF_DIR}/documents.parquet'))
+            SELECT doc_id,
+                   CAST(FLOOR((SUM(tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tok) / 256.0)
+                        AS BIGINT)
+            FROM t ORDER BY doc_id""").fetchall()
+        assert got == [(a, b) for a, b in exp]
+
+    def test_oversized_doc_and_skew(self, ray_session):
+        """A doc bigger than the budget owns the pack its first token lands
+        in; later docs continue from the running total (never reset)."""
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import pack_sequences
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                      "tok": pa.array([10, 1000, 10, 10], type=pa.int64())})
+        out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+            ray.data.from_arrow(t), "tok", 100, num_ranges=3).take_all()}
+        # prefix-excl: 0, 10, 1010, 1020 -> packs 0, 0, 10, 10
+        assert out == {1: 0, 2: 0, 3: 10, 4: 10}
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import pack_sequences
+
+        t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "tok": pa.array([], type=pa.int64())})
+        assert pack_sequences(ray.data.from_arrow(t), "tok", 100).count() == 0

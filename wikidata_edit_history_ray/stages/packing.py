@@ -1,0 +1,77 @@
+"""Sequence packing for training-data pipelines: assign each document to a
+fixed-token-budget pack by its position in the global token stream.
+
+Semantics (exactly SQL-expressible, so the driver hard-oracles it):
+    pack_id(doc) = floor(prefix_tokens_before(doc) / max_tokens)
+with documents ordered by `order_col` — i.e. concatenate all docs in order
+and start a new pack every `max_tokens` tokens; a doc belongs to the pack its
+FIRST token lands in (packs can overflow by at most one doc — the standard
+"greedy contiguous fill" used to build packed pretraining batches).
+
+Distributed shape — a global ordered PREFIX SUM, a pattern none of the other
+operators need:
+1. range-partition on `order_col` (uniform cutpoints over the observed
+   min/max; skew affects balance only, never results);
+2. ONE tiny aggregate: per-range token totals -> driver computes the B-row
+   running offsets (B = number of ranges, bytes not gigabytes);
+3. per-range finalize: sort within the range, local cumulative sum + the
+   broadcast range offset -> pack id. One shuffle of slim (order, tokens)
+   rows; the text column never moves.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_sequences(ds, token_col: str, max_tokens: int,
+                   order_col: str = "doc_id", num_ranges: int | None = None):
+    """Dataset with (order_col, token_col) -> Dataset of
+    (order_col, token_col, pack_id). Exact: equals the SQL window
+    floor((sum(tokens) over (order by order_col) - tokens) / max_tokens)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .distributed import default_reduce_buckets
+
+    if num_ranges is None:
+        num_ranges = default_reduce_buckets()
+
+    slim = ds.select_columns([order_col, token_col])
+    bounds = slim.aggregate(Min(order_col, alias_name="lo"),
+                            Max(order_col, alias_name="hi"))
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return ray.data.from_arrow(pa.table({
+            order_col: pa.array([], type=pa.int64()),
+            token_col: pa.array([], type=pa.int64()),
+            "pack_id": pa.array([], type=pa.int64())}))
+    span = max(1, int(hi) - int(lo) + 1)
+
+    def tag_range(batch: pa.Table) -> pa.Table:
+        keys = batch.column(order_col).combine_chunks().to_numpy()
+        rng = ((keys.astype(np.int64) - int(lo)) * num_ranges // span) \
+            .clip(0, num_ranges - 1)
+        return batch.append_column("_range", pa.array(rng, type=pa.int64()))
+
+    tagged = slim.map_batches(tag_range, batch_format="pyarrow")
+
+    # tiny pass: token total per range -> running offsets on the driver
+    totals = tagged.groupby("_range").aggregate(
+        Sum(token_col, alias_name="tok")).take_all()
+    per_range = {int(r["_range"]): int(r["tok"]) for r in totals}
+    offsets, acc = {}, 0
+    for r in range(num_ranges):
+        offsets[r] = acc
+        acc += per_range.get(r, 0)
+
+    def finalize(group):
+        g = group.sort_values(order_col, kind="mergesort")
+        toks = g[token_col].to_numpy(dtype=np.int64)
+        start = offsets[int(g["_range"].iloc[0])]
+        prefix_excl = start + np.cumsum(toks) - toks
+        g = g.drop(columns=["_range"]).copy()
+        g["pack_id"] = prefix_excl // max_tokens
+        return g
+
+    return tagged.groupby("_range").map_groups(finalize, batch_format="pandas")
