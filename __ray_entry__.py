@@ -514,6 +514,20 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, token_col="ws_token_count", max_tokens=512)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampler: 20 lowest-md5(doc_id) docs per
+    language (reproducible data mixing; partial top-k combine, tiny final
+    merge)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source", "n_chars"])
+    return stratified_sample(ds, "lang", 20) \
+        .select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -772,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "text_analysis": _q_text_analysis,
         "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
@@ -1010,6 +1025,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
                    quality_score, fingerprint
             FROM read_parquet('{_text_expect_path(sf_dir)}')
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+              FROM documents) WHERE rn <= 20
         """,
         "pack_sequences": """
             WITH t AS (

@@ -1,0 +1,42 @@
+"""Deterministic stratified sampling for training-data mixing: keep the k
+rows with the lowest md5(id) per stratum (language, source, quality band...).
+
+Hash-rank sampling is the standard reproducible sampler: the choice is a pure
+function of the id, so reruns, resumes and different cluster shapes pick the
+IDENTICAL sample, and the driver oracles it with a SQL window
+(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(id)) <= k).
+
+Distributed shape — partial top-k, then a tiny final merge:
+1. block-local: keep at most k lowest-hash rows per stratum per block
+   (vectorized pandas groupby.head after sort) — the shuffle moves at most
+   k x strata x blocks slim rows, never the corpus;
+2. one groupby shuffle on the stratum, final per-stratum head(k).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _md5_rank(ids) -> list:
+    return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+
+
+def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id"):
+    """Keep the k lowest-md5(id) rows per stratum; ties impossible (md5 of
+    distinct ids). Returns the full surviving rows."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_rk"] = _md5_rank(df[id_col])
+        df = df.sort_values([stratum_col, "_rk"], kind="mergesort") \
+            .groupby(stratum_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(group):
+        g = group.sort_values("_rk", kind="mergesort").head(k)
+        return g.drop(columns=["_rk"])
+
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby(stratum_col).map_groups(final_topk, batch_format="pandas")
