@@ -124,19 +124,23 @@ def ingest_dumps(paths, output_dir: str | None = None,
     import ray.data
 
     def one_file(batch: pa.Table):
+        out_fs = out_root = None
+        if output_dir:
+            from ..stages.extract import resolve_filesystem
+
+            out_fs, out_root = resolve_filesystem(output_dir)
+            out_fs.create_dir(out_root, recursive=True)
         for p in batch.column("path").to_pylist():
             shard_idx = 0
             for chunk in read_xml_dump_chunked(p, max_docs_per_chunk):
                 if output_dir:
                     import pyarrow.parquet as pq
 
-                    os.makedirs(output_dir, exist_ok=True)
                     stem = os.path.basename(p).split(".")[0]
                     pq.write_table(
                         chunk,
-                        os.path.join(output_dir,
-                                     f"{stem}-{shard_idx:05d}.parquet"),
-                        row_group_size=100)
+                        f"{out_root}/{stem}-{shard_idx:05d}.parquet",
+                        filesystem=out_fs, row_group_size=100)
                 shard_idx += 1
                 yield chunk
 
