@@ -528,6 +528,22 @@ def _q_stratified_sample(sf_dir: str):
         .select_columns(["doc_id", "lang", "source", "n_chars"])
 
 
+def _q_events_sliding_window(sf_dir: str):
+    """Event-time windowed aggregate: per event, the 24h trailing sum of
+    `value` for its user (coarse key-bucket shuffle + vectorized banded
+    prefix-sum windows per bucket)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.windows import sliding_window_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    out = sliding_window_sum(ds, key_col="user_id", ts_col="ts",
+                             value_col="value", window_seconds=86400)
+    return _round_cols(out.select_columns(["event_id", "user_id", "window_sum"]),
+                       ["window_sum"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -787,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "events_sliding_window": _q_events_sliding_window,
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
@@ -1025,6 +1042,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
                    quality_score, fingerprint
             FROM read_parquet('{_text_expect_path(sf_dir)}')
+        """,
+        "events_sliding_window": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                               AND CURRENT ROW), 3) AS window_sum
+            FROM events
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source, n_chars FROM (

@@ -429,3 +429,37 @@ class TestStratifiedSample:
             by.setdefault(r["lang"], []).append(r["doc_id"])
         assert sorted(by["rare"]) == [0, 1, 2]  # under-quota stratum intact
         assert len(by["big"]) == 5
+
+
+class TestSlidingWindow:
+    def test_peers_and_window_edges(self, ray_session):
+        """RANGE-frame semantics: equal timestamps are peers (all in-frame),
+        rows exactly `window` old are included, older excluded."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.windows import sliding_window_sum
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 7, base, 1.0),
+            (2, 7, base + dt.timedelta(seconds=50), 2.0),
+            (3, 7, base + dt.timedelta(seconds=50), 4.0),   # peer of event 2
+            (4, 7, base + dt.timedelta(seconds=150), 8.0),  # 100s after peers
+            (5, 9, base + dt.timedelta(seconds=50), 16.0),  # other key
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        })
+        out = {r["event_id"]: r["window_sum"] for r in sliding_window_sum(
+            ray.data.from_arrow(t), "user_id", "ts", "value",
+            window_seconds=100).take_all()}
+        assert out[1] == 1.0
+        assert out[2] == 7.0 and out[3] == 7.0  # peers see each other + ev1 (50s <= 100s)
+        assert out[4] == 14.0  # ev2+ev3 exactly 100s old (inclusive), ev1 out
+        assert out[5] == 16.0  # keys never mix
