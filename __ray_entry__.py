@@ -544,6 +544,38 @@ def _q_events_sliding_window(sf_dir: str):
                        ["window_sum"])
 
 
+def _q_events_asof_last_purchase(sf_dir: str):
+    """As-of join: every event matched to its user's most recent purchase at
+    or before the event time (union-tag + key-bucket shuffle + per-key ffill)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.joins import asof_join
+
+    left = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "user_id", "ts", "value"])
+    right = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"])
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    right_value_cols=["value"])
+
+    def no_match_sentinel(batch):
+        # null-free compare surface: NULL/NaN float encodings differ between
+        # Arrow and DuckDB pandas frames, so both sides coalesce to -1.0
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("value_right")
+        return batch.set_column(
+            i, "value_right",
+            pc.fill_null(pc.cast(batch.column("value_right"), "float64"), -1.0))
+
+    out = out.select_columns(["event_id", "user_id", "value_right"]) \
+        .map_batches(no_match_sentinel, batch_format="pyarrow")
+    return _round_cols(out, ["value_right"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -804,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "events_sliding_window": _q_events_sliding_window,
+        "events_asof_last_purchase": _q_events_asof_last_purchase,
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
@@ -1042,6 +1075,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
                    quality_score, fingerprint
             FROM read_parquet('{_text_expect_path(sf_dir)}')
+        """,
+        "events_asof_last_purchase": """
+            SELECT l.event_id, l.user_id,
+                   ROUND(COALESCE(r.value, -1.0), 3) AS value_right
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

@@ -463,3 +463,36 @@ class TestSlidingWindow:
         assert out[2] == 7.0 and out[3] == 7.0  # peers see each other + ev1 (50s <= 100s)
         assert out[4] == 14.0  # ev2+ev3 exactly 100s old (inclusive), ev1 out
         assert out[5] == 16.0  # keys never mix
+
+
+class TestAsofJoin:
+    def test_semantics_including_ties_and_no_match(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.joins import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "k": pa.array([7, 7, 7, 9], type=pa.int64()),
+            "ts": pa.array([base, base + dt.timedelta(seconds=10),
+                            base + dt.timedelta(seconds=20), base],
+                           type=pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([7, 7], type=pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=10),
+                            base + dt.timedelta(seconds=15)],
+                           type=pa.timestamp("us")),
+            "v": pa.array([100.0, 200.0], type=pa.float64()),
+        })
+        out = {r["event_id"]: r["v_right"] for r in asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key_col="k", ts_col="ts", right_value_cols=["v"]).take_all()}
+        assert out[1] is None          # before any right row
+        assert out[2] == 100.0         # tie at equal ts matches
+        assert out[3] == 200.0         # most recent wins
+        assert out[4] is None          # key with no right rows
