@@ -42,13 +42,20 @@ _BCAST_CACHE: dict = {}
 _BCAST_PINS: list = []
 
 
+def _pin(mat):
+    # eviction must lag far behind any pipeline still executing: dropping a
+    # pin while a downstream stage holds its refs dangles them (observed as a
+    # flaky UserCodeException in long pytest sessions at the old cap of 64)
+    _BCAST_PINS.append(mat)
+    if len(_BCAST_PINS) > 512:
+        del _BCAST_PINS[:64]
+
+
 def broadcast_dataset(ds):
     """Materialize a Dataset and return a lightweight handle (tuple of Arrow
     block refs) that tasks can capture in closures."""
     mat = ds.materialize()
-    _BCAST_PINS.append(mat)
-    if len(_BCAST_PINS) > 64:
-        del _BCAST_PINS[:32]
+    _pin(mat)
     return tuple(mat.to_arrow_refs())
 
 
@@ -94,9 +101,7 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
     neither side ever materializes centrally.
     """
     drop_small = drop_ds.select_columns([drop_col]).materialize()
-    _BCAST_PINS.append(drop_small)
-    if len(_BCAST_PINS) > 64:
-        del _BCAST_PINS[:32]
+    _pin(drop_small)
     if buckets is None:
         buckets = default_reduce_buckets()
     if drop_small.count() <= broadcast_limit:
