@@ -88,8 +88,20 @@ def make_embedder(spec=None):
 
 
 def _pairwise_cosine(model, old_texts, new_texts) -> np.ndarray:
-    a = model.encode(list(old_texts))
-    b = model.encode(list(new_texts))
+    """Cosine per (old, new) pair, encoding each UNIQUE text once — labels
+    repeat heavily across a batch, and with a real model (ML1) the encode is
+    the dominant cost, so dedup-then-gather is the scale lever."""
+    old_texts, new_texts = list(old_texts), list(new_texts)
+    uniq: dict = {}
+    for t in old_texts:
+        uniq.setdefault(t, len(uniq))
+    for t in new_texts:
+        uniq.setdefault(t, len(uniq))
+    embs = model.encode(list(uniq))
+    a = embs[np.fromiter((uniq[t] for t in old_texts), dtype=np.int64,
+                         count=len(old_texts))]
+    b = embs[np.fromiter((uniq[t] for t in new_texts), dtype=np.int64,
+                         count=len(new_texts))]
     return (a * b).sum(axis=1)
 
 
