@@ -576,6 +576,19 @@ def _q_events_asof_last_purchase(sf_dir: str):
     return _round_cols(out, ["value_right"])
 
 
+def _q_events_value_bands(sf_dir: str):
+    """Range (interval) join: each event against the OVERLAPPING value bands
+    [20i, 20i+30], i<10 — one row per containment (broadcast interval join)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.joins import broadcast_range_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    bands = [(i, i * 20.0, i * 20.0 + 30.0) for i in range(10)]
+    return broadcast_range_join(ds, "value", bands, id_cols=["event_id"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -837,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "events_sliding_window": _q_events_sliding_window,
         "events_asof_last_purchase": _q_events_asof_last_purchase,
+        "events_value_bands": _q_events_value_bands,
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
@@ -1075,6 +1089,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, detected_lang, ws_token_count, bpe_token_count,
                    quality_score, fingerprint
             FROM read_parquet('{_text_expect_path(sf_dir)}')
+        """,
+        "events_value_bands": """
+            SELECT e.event_id, b.band_id
+            FROM events e
+            JOIN (SELECT i AS band_id, i*20.0 AS lo, i*20.0 + 30.0 AS hi
+                  FROM range(10) t(i)) b
+              ON e.value >= b.lo AND e.value <= b.hi
         """,
         "events_asof_last_purchase": """
             SELECT l.event_id, l.user_id,

@@ -496,3 +496,19 @@ class TestAsofJoin:
         assert out[2] == 100.0         # tie at equal ts matches
         assert out[3] == 200.0         # most recent wins
         assert out[4] is None          # key with no right rows
+
+
+class TestRangeJoin:
+    def test_overlapping_intervals_one_row_each(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.joins import broadcast_range_join
+
+        t = pa.table({"event_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "value": pa.array([5.0, 25.0, 99.0], type=pa.float64())})
+        bands = [(0, 0.0, 30.0), (1, 20.0, 50.0)]  # overlap on [20, 30]
+        out = sorted((r["event_id"], r["band_id"]) for r in broadcast_range_join(
+            ray.data.from_arrow(t), "value", bands,
+            id_cols=["event_id"]).take_all())
+        assert out == [(1, 0), (2, 0), (2, 1)]  # 99.0 matches nothing

@@ -15,6 +15,38 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def broadcast_range_join(ds, value_col: str, intervals,
+                         id_cols: list | None = None,
+                         band_col: str = "band_id"):
+    """Interval-containment join: one output row per (row, interval) with
+    interval.lo <= value <= interval.hi — intervals may overlap (1:N).
+
+    `intervals`: [(band_id, lo, hi), ...] — a DIMENSION-sized side, shipped
+    once in the task closure (the broadcast-join shape; at 100 TB the fact
+    side streams, the interval table is bytes). Vectorized: one containment
+    mask per interval per batch, rows gathered with Arrow take."""
+    import numpy as np
+
+    ivs = [(int(b), float(lo), float(hi)) for b, lo, hi in intervals]
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        src = batch.select(id_cols) if id_cols else batch
+        vals = batch.column(value_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        take_idx, bands = [], []
+        for b, lo, hi in ivs:
+            hit = np.nonzero((vals >= lo) & (vals <= hi))[0]
+            take_idx.append(hit)
+            bands.append(np.full(len(hit), b, dtype=np.int64))
+        idx = np.concatenate(take_idx) if take_idx else np.array([], np.int64)
+        out = src.take(pa.array(idx))
+        return out.append_column(
+            band_col, pa.array(np.concatenate(bands) if bands
+                               else np.array([], np.int64), type=pa.int64()))
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
               right_value_cols: list, suffix: str = "_right",
               buckets: int | None = None):
