@@ -196,3 +196,23 @@ class TestExactDedupHostile:
         t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
         out = exact_dedup(ray.data.from_arrow(t, override_num_blocks=16))
         assert sorted(r["doc_id"] for r in out.take_all()) == list(range(7))
+
+
+class TestGatherPairValuesStringIds:
+    def test_string_ids(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.distributed import \
+            gather_pair_values
+
+        t = pa.table({"k": [f"d{i}" for i in range(40)],
+                      "text": [f"p{i}" for i in range(40)]})
+        edges = pa.table({"cand_a": [f"d{i}" for i in range(0, 40, 4)],
+                          "cand_b": [f"d{i+1}" for i in range(0, 40, 4)]})
+        out = gather_pair_values(ray.data.from_arrow(t, override_num_blocks=3),
+                                 ray.data.from_arrow(edges),
+                                 "k", "text").take_all()
+        assert len(out) == 10
+        for r in out:
+            assert r["val_a"] == "p" + r["cand_a"][1:]
+            assert r["val_b"] == "p" + r["cand_b"][1:]

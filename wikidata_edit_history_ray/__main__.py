@@ -113,6 +113,30 @@ def cmd_ingest(args):
     ray.shutdown()
 
 
+def cmd_extract_labels(args):
+    """Entity-JSON dumps -> label/property dimension (S8 parity:
+    wdtk/ExtractLabelsProperties.java as a Ray pipeline). --format csv emits
+    the two reference-shaped CSVs; --format partitioned lays the entity
+    labels out as the hash-partitioned J3 join dimension."""
+    import glob as _glob
+
+    ray = _ensure_ray()
+    from .sources.labels_dump import (ingest_labels, labels_to_partitioned,
+                                      write_labels_csv)
+
+    paths = sorted(p for pat in args.dumps for p in _glob.glob(pat))
+    if not paths:
+        raise SystemExit(f"no dump files match {args.dumps}")
+    ds = ingest_labels(paths, language=args.language)
+    if args.format == "partitioned":
+        out = {"labels_dir": labels_to_partitioned(ds, args.output,
+                                                   buckets=args.buckets)}
+    else:
+        out = write_labels_csv(ds, args.output)
+    print(json.dumps({"files": len(paths), **out}))
+    ray.shutdown()
+
+
 def cmd_gen_corpus(args):
     from .sources.corpus import write_corpus_parquet
 
@@ -158,6 +182,16 @@ def main(argv=None):
     i.add_argument("--output", required=True)
     i.add_argument("--chunk-docs", type=int, default=2000)
     i.set_defaults(fn=cmd_ingest)
+
+    x = sub.add_parser("extract-labels",
+                       help="entity-JSON dumps -> label/property dimension")
+    x.add_argument("--dumps", nargs="+", required=True,
+                   help="glob(s) of latest-all.json[.bz2]-shaped dumps")
+    x.add_argument("--output", required=True)
+    x.add_argument("--language", default="en")
+    x.add_argument("--format", choices=("csv", "partitioned"), default="csv")
+    x.add_argument("--buckets", type=int, default=32)
+    x.set_defaults(fn=cmd_extract_labels)
 
     g = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
     g.add_argument("--path", required=True)

@@ -38,6 +38,12 @@ def pack_sequences(ds, token_col: str, max_tokens: int,
         num_ranges = default_reduce_buckets()
 
     slim = ds.select_columns([order_col, token_col])
+    schema = slim.schema()
+    o_type = schema.types[schema.names.index(order_col)]
+    if not (pa.types.is_integer(o_type) or pa.types.is_floating(o_type)):
+        raise TypeError(
+            f"pack_sequences needs a numeric order column; {order_col!r} is "
+            f"{o_type} (range partitioning cuts the key space numerically)")
     bounds = slim.aggregate(Min(order_col, alias_name="lo"),
                             Max(order_col, alias_name="hi"))
     lo, hi = bounds["lo"], bounds["hi"]
