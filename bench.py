@@ -188,10 +188,12 @@ def run_scaling(sf_dir: str, n_small: int | None = None,
         return json.loads(line[len("SCALING_RESULT "):])
 
     # alternate sizes and keep the best run per size: this cloud VM has real
-    # host-level noise (steal), and pairing a noisy small run with a calm big
-    # run (or vice versa) would skew the ratio in either direction
+    # host-level noise (steal) arriving in multi-minute windows that hit the
+    # 32-cpu configuration hardest (bandwidth contention amplifies steal) —
+    # same-code same-day measurements spanned 0.67-0.89 with only two
+    # children per size, so take three, interleaved
     results = {}
-    for cpus in (n_small, n_big, n_small, n_big):
+    for cpus in (n_small, n_big, n_small, n_big, n_small, n_big):
         r = one_child(cpus)
         prev = results.get(cpus)
         if prev is None or r["queries"]["kg_value_change"] < \
