@@ -801,6 +801,145 @@ def _q_kg_features_entity_enriched(sf_dir: str):
                          "is_link_change"])
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Duplicate-cluster canonicalization: distributed connected components
+    (iterative min-label propagation, stages/cluster.py) over a deterministic
+    doc-similarity edge set — chains (d, d-1) for d%10 in 1..3 and star
+    spokes (d, century_base) for d%100==7 (diameter-3 components, so the min
+    label must flow multiple hops). Oracle: recursive CTE reachability."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.cluster import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def derive_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m1 = (d % 10 >= 1) & (d % 10 <= 3)
+        m2 = d % 100 == 7
+        src = np.concatenate([d[m1], d[m2]])
+        dst = np.concatenate([d[m1] - 1, (d[m2] // 100) * 100])
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(derive_edges, batch_format="pyarrow")
+    return connected_components(docs, edges, node_col="doc_id")
+
+
+def _q_minhash_cluster(sf_dir: str):
+    """Near-dup CLUSTERING (not just removal): minhash-LSH verified edges ->
+    connected components -> every doc labeled with its duplicate-cluster
+    representative (min doc_id). The derived corpus fixes the clusters
+    analytically: {d, d+10M} for d%10==0, singletons otherwise."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.cluster import connected_components
+    from wikidata_edit_history_ray.stages.dedup_ops import \
+        minhash_lsh_verified_edges
+
+    ds = _derived_dedup_docs(sf_dir, "near")
+    edges = minhash_lsh_verified_edges(ds)
+    nodes = ds.select_columns(["doc_id"])
+    if edges is None:
+        def own(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "cluster_id": batch.column("doc_id")})
+        return nodes.map_batches(own, batch_format="pyarrow")
+    edges = edges.map_batches(
+        lambda b: pa.table({"src": b.column("cand_a"),
+                            "dst": b.column("cand_b")}),
+        batch_format="pyarrow")
+    return connected_components(nodes, edges, node_col="doc_id")
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Global token vocabulary: top-100 lowercased [a-z0-9]+ tokens by
+    (count desc, token asc) — per-batch partial counts, vocabulary-sized
+    groupby-sum, sort on the aggregate only."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import vocab_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return vocab_topk(ds, k=100)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any word 3-gram with the
+    'benchmark' slice (doc_id % 29 == 1) — broadcast benchmark gram set,
+    streaming membership probe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import decontaminate_flags
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def bench_slice(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.subtract(
+            batch.column("doc_id"),
+            pc.multiply(pc.divide(batch.column("doc_id"), 29), 29)), 1)
+        return batch.filter(keep)
+
+    bench = ds.map_batches(bench_slice, batch_format="pyarrow")
+    return decontaminate_flags(ds, bench)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles of n_chars via the distinct-value
+    histogram reduction (no global sort, no sketch error)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.profile import column_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    return column_quantiles(ds, "n_chars")
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction inside Arrow RE2 kernels: emails then long digit runs,
+    with per-doc match counts. Every third doc gets a deterministic
+    synthetic email+number appended so the kernels have real work."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import redact_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id")
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        tail = pc.binary_join_element_wise(
+            " contact u", pc.cast(ids, pa.string()), "@example.com id ",
+            pc.cast(pa.array(iv * 7919 + 1_000_000_000), pa.string()),
+            " end", "")
+        mask = pa.array(iv % 3 == 0)
+        text2 = pc.if_else(mask,
+                           pc.binary_join_element_wise(
+                               batch.column("text"), tail, ""),
+                           batch.column("text"))
+        return pa.table({"doc_id": ids, "text": text2})
+
+    out = ds.map_batches(inject, batch_format="pyarrow") \
+        .map_batches(redact_pii, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "clean_text", "n_emails",
+                               "n_numbers"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -854,6 +993,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frame_samples": _q_media_frame_samples,
         "ivf_topk": _q_ivf_topk,
+        # --- canonicalization / corpus-profile operators (round 3) ---
+        "dup_clusters": _q_dup_clusters,
+        "minhash_cluster_docs": _q_minhash_cluster,
+        "vocab_topk": _q_vocab_topk,
+        "decontaminate": _q_decontaminate,
+        "length_quantiles": _q_length_quantiles,
+        "pii_redact": _q_pii_redact,
     }
 
 
@@ -1198,5 +1344,119 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM embeddings e CROSS JOIN q
             )
             SELECT query_idx, vec_id FROM scored WHERE rk <= 10
+        """,
+        # min-label reachability: recursive CTE fixpoint == the engine's
+        # min-label-propagation connected components (stages/cluster.py)
+        "dup_clusters": """
+            WITH RECURSIVE
+            raw_edges AS (
+              SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+              WHERE doc_id % 10 BETWEEN 1 AND 3
+              UNION ALL
+              SELECT doc_id AS src, (doc_id // 100) * 100 AS dst
+              FROM documents WHERE doc_id % 100 = 7
+            ),
+            sym AS (
+              SELECT src, dst FROM raw_edges
+              UNION
+              SELECT dst, src FROM raw_edges
+            ),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+            )
+            SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # derived near-dup corpus fixes the clusters analytically:
+        # {d, d+10M} for d%10==0 (verified pair, min label d), singletons
+        # otherwise (far clones d+20M share no shingles)
+        "minhash_cluster_docs": """
+            SELECT doc_id, doc_id AS cluster_id FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, doc_id AS cluster_id
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id,
+                   doc_id + 20000000 AS cluster_id
+            FROM documents WHERE doc_id % 10 = 5
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS token
+              FROM documents
+            )
+            SELECT token, COUNT(*)::BIGINT AS count FROM toks
+            GROUP BY token ORDER BY count DESC, token ASC LIMIT 100
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 1),
+            hits AS (SELECT DISTINCT doc_id FROM grams
+                     WHERE g IN (SELECT g FROM bench))
+            SELECT d.doc_id,
+                   (CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # every arithmetic term cast to DOUBLE so ceil(q*N) hits the same
+        # IEEE-754 bits as the engine's math.ceil (DuckDB's default DECIMAL
+        # literal would round 0.9*N differently)
+        "length_quantiles": """
+            WITH hist AS (
+              SELECT n_chars AS v, COUNT(*)::BIGINT AS cnt
+              FROM documents GROUP BY v
+            ),
+            c AS (
+              SELECT v, SUM(cnt) OVER (ORDER BY v)::DOUBLE AS cum,
+                     (SELECT SUM(cnt) FROM hist)::DOUBLE AS total
+              FROM hist
+            ),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT q::DOUBLE AS q, MIN(v)::BIGINT AS value
+            FROM qs JOIN c ON c.cum >= ceil(q::DOUBLE * c.total)
+            GROUP BY q
+        """,
+        # same RE2 pattern strings as stages/text_ops.redact_pii; DuckDB and
+        # Arrow both run RE2, so counts and replacements agree byte-for-byte
+        "pii_redact": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       coalesce(text, '') || ' contact u' || doc_id ||
+                       '@example.com id ' ||
+                       (doc_id * 7919 + 1000000000) || ' end'
+                     ELSE coalesce(text, '') END AS text
+              FROM documents
+            ),
+            pass1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+                       AS n_emails,
+                     regexp_replace(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                       '<EMAIL>', 'g') AS t2
+              FROM injected
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '[0-9]{7,}', '<NUMBER>', 'g')
+                     AS clean_text,
+                   n_emails,
+                   len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT
+                     AS n_numbers
+            FROM pass1
         """,
     }

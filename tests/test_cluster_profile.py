@@ -1,0 +1,274 @@
+"""Round-3 canonicalization / profiling operators: connected components,
+exact quantiles, vocabulary top-k, decontamination, PII redaction, and the
+minhash verified-edges refactor — each checked against an in-test brute
+force (union-find, numpy, Counter, set algebra)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute_cc(nodes, edges):
+    """Union-find ground truth: node -> min reachable id."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+class TestConnectedComponents:
+    def _run(self, ray, nodes, edges, **kw):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.cluster import \
+            connected_components
+
+        nodes_ds = ray.data.from_arrow(pa.table(
+            {"node": pa.array(nodes, type=pa.int64())}))
+        edges_ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges], type=pa.int64()),
+            "dst": pa.array([e[1] for e in edges], type=pa.int64())}))
+        out = connected_components(nodes_ds, edges_ds, **kw)
+        return {r["node"]: r["cluster_id"] for r in out.take_all()}
+
+    def test_chain_star_isolated(self, ray_session):
+        # chain 0-1-2-3, star 10<-{11,12,13}, isolated 99
+        nodes = [0, 1, 2, 3, 10, 11, 12, 13, 99]
+        edges = [(1, 0), (2, 1), (3, 2), (11, 10), (12, 10), (13, 10)]
+        got = self._run(ray_session, nodes, edges)
+        assert got == _brute_cc(nodes, edges)
+        assert got[3] == 0 and got[13] == 10 and got[99] == 99
+
+    def test_randomized_vs_union_find(self, ray_session):
+        rng = np.random.default_rng(7)
+        nodes = list(range(400))
+        edges = [tuple(rng.choice(400, size=2, replace=False))
+                 for _ in range(300)]
+        edges = [(int(a), int(b)) for a, b in edges]
+        got = self._run(ray_session, nodes, edges)
+        assert got == _brute_cc(nodes, edges)
+
+    def test_no_edges_all_singletons(self, ray_session):
+        got = self._run(ray_session, [5, 6, 7], [])
+        assert got == {5: 5, 6: 6, 7: 7}
+
+    def test_max_iters_raises_loudly(self, ray_session):
+        # a 12-hop path needs ~12 rounds; max_iters=2 must raise, never
+        # silently return partial labels
+        nodes = list(range(13))
+        edges = [(i, i + 1) for i in range(12)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            self._run(ray_session, nodes, edges, max_iters=2)
+
+    def test_custom_column_names(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.cluster import \
+            connected_components
+
+        nodes_ds = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1, 2, 3], type=pa.int64())}))
+        edges_ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([2], type=pa.int64()),
+            "b": pa.array([3], type=pa.int64())}))
+        out = connected_components(nodes_ds, edges_ds, node_col="doc_id",
+                                   src_col="a", dst_col="b")
+        got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+        assert got == {1: 1, 2: 2, 3: 2}
+
+
+class TestColumnQuantiles:
+    def _brute(self, vals, qs):
+        import math
+
+        vals = np.sort(np.asarray(vals, dtype=np.int64))
+        out = {}
+        for q in qs:
+            rank = math.ceil(q * len(vals))
+            out[q] = int(vals[max(rank - 1, 0)])
+        return out
+
+    def test_vs_numpy(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.profile import column_quantiles
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 500, size=2000)
+        ds = ray.data.from_arrow(pa.table(
+            {"x": pa.array(vals, type=pa.int64())})).repartition(8)
+        qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+        got = {r["q"]: r["value"]
+               for r in column_quantiles(ds, "x", qs=qs).take_all()}
+        assert got == self._brute(vals, qs)
+
+    def test_constant_column(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.profile import column_quantiles
+
+        ds = ray.data.from_arrow(pa.table(
+            {"x": pa.array([7] * 50, type=pa.int64())}))
+        got = column_quantiles(ds, "x").take_all()
+        assert all(r["value"] == 7 for r in got)
+
+
+class TestVocabTopK:
+    def test_vs_counter(self, ray_session):
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import vocab_topk
+
+        texts = ["The quick Brown fox", "brown FOX jumps 42 times",
+                 "fox fox fox", None, "42 And the quick dog"]
+        ds = ray.data.from_arrow(pa.table(
+            {"text": pa.array(texts, type=pa.string())})).repartition(3)
+        got = [(r["token"], r["count"])
+               for r in vocab_topk(ds, k=4).take_all()]
+        counts = Counter(t for s in texts
+                         for t in re.findall(r"[a-z0-9]+", (s or "").lower()))
+        exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert got == exp
+
+    def test_k_larger_than_vocab(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import vocab_topk
+
+        ds = ray.data.from_arrow(pa.table(
+            {"text": pa.array(["a b a"], type=pa.string())}))
+        got = [(r["token"], r["count"])
+               for r in vocab_topk(ds, k=100).take_all()]
+        assert got == [("a", 2), ("b", 1)]
+
+
+class TestDecontaminate:
+    def test_flags_gram_overlap_only(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import \
+            decontaminate_flags
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta",      # shares 'alpha beta gamma'
+                "beta gamma alpha",            # same tokens, no shared 3-gram
+                "unrelated words entirely here",
+                "x alpha beta gamma",          # shares via offset
+            ], type=pa.string())})
+        bench = pa.table({
+            "doc_id": pa.array([100], type=pa.int64()),
+            "text": pa.array(["zz alpha beta gamma qq"], type=pa.string())})
+        ds = ray.data.from_arrow(docs)
+        out = decontaminate_flags(ds, ray.data.from_arrow(bench))
+        got = {r["doc_id"]: r["contaminated"] for r in out.take_all()}
+        assert got == {1: 1, 2: 0, 3: 0, 4: 1}
+
+    def test_short_docs_never_flagged(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import \
+            decontaminate_flags
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["only two"], type=pa.string())}))
+        bench = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([9], type=pa.int64()),
+            "text": pa.array(["only two tokens bench"], type=pa.string())}))
+        out = decontaminate_flags(ds, bench)
+        assert out.take_all()[0]["contaminated"] == 0
+
+
+class TestRedactPII:
+    def test_known_answers(self):
+        from wikidata_edit_history_ray.stages.text_ops import redact_pii
+
+        batch = pa.table({"text": pa.array([
+            "mail me at jo.doe+x@ex-ample.co.uk now",
+            "card 12345678 and pin 123456",
+            "a@b.io or c.d@e.org, ref 99999990000",
+            None,
+            "clean text"], type=pa.string())})
+        out = redact_pii(batch)
+        assert out.column("clean_text").to_pylist() == [
+            "mail me at <EMAIL> now",
+            "card <NUMBER> and pin 123456",
+            "<EMAIL> or <EMAIL>, ref <NUMBER>",
+            "",
+            "clean text"]
+        assert out.column("n_emails").to_pylist() == [1, 0, 2, 0, 0]
+        assert out.column("n_numbers").to_pylist() == [0, 1, 1, 0, 0]
+
+    def test_digits_inside_email_not_double_counted(self):
+        from wikidata_edit_history_ray.stages.text_ops import redact_pii
+
+        batch = pa.table({"text": pa.array(
+            ["user1234567@example.com"], type=pa.string())})
+        out = redact_pii(batch)
+        assert out.column("n_emails").to_pylist() == [1]
+        assert out.column("n_numbers").to_pylist() == [0]
+
+
+class TestMinhashVerifiedEdges:
+    def _mk(self, ray, n=40):
+        import ray.data
+
+        ids, texts = [], []
+        for d in range(n):
+            toks = [f"w{d}x{i}" for i in range(48)]
+            ids.append(d)
+            texts.append(" ".join(toks))
+            if d % 10 == 0:
+                ids.append(d + 1000)
+                texts.append(" ".join(toks[:-1] + ["zz"]))
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})).repartition(4)
+
+    def _expected(self, n=40):
+        return {(d, d + 1000) for d in range(n) if d % 10 == 0}
+
+    def test_broadcast_path(self, ray_session):
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            minhash_lsh_verified_edges
+
+        edges = minhash_lsh_verified_edges(self._mk(ray_session))
+        got = {(r["cand_a"], r["cand_b"]) for r in edges.take_all()}
+        assert got == self._expected()
+
+    def test_partitioned_path_identical(self, ray_session):
+        # force the hash-partitioned verify join by shrinking the broadcast
+        # comfort limit to zero
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            minhash_lsh_verified_edges
+
+        edges = minhash_lsh_verified_edges(
+            self._mk(ray_session), candidate_broadcast_limit=0)
+        got = {(r["cand_a"], r["cand_b"]) for r in edges.take_all()}
+        assert got == self._expected()
+
+    def test_no_dupes_returns_none(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            minhash_lsh_verified_edges
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([" ".join(f"a{i}" for i in range(30)),
+                              " ".join(f"b{i}" for i in range(30))],
+                             type=pa.string())}))
+        assert minhash_lsh_verified_edges(ds) is None

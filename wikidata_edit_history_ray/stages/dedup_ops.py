@@ -223,15 +223,17 @@ def _coarse_from_bucket(batch: pa.Table, buckets: int) -> pa.Table:
         "_coarse", pa.array(keys % buckets, type=pa.int64()))
 
 
-def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                      num_perm: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.8, shingle_size: int = 3,
-                      max_compare: int = 4, concurrency=None,
-                      candidate_broadcast_limit: int = 2_500_000):
-    """Near-dup removal: a doc is dropped when it shares an LSH band bucket
-    with an earlier-id doc whose EXACT n-gram Jaccard >= threshold.
+def minhash_lsh_verified_edges(ds, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_perm: int = 64, bands: int = 16,
+                               jaccard_threshold: float = 0.8,
+                               shingle_size: int = 3,
+                               max_compare: int = 4, concurrency=None,
+                               candidate_broadcast_limit: int = 2_500_000):
+    """VERIFIED near-dup edges (cand_a=earlier id, cand_b=later id): pairs
+    sharing an LSH band bucket whose EXACT n-gram Jaccard >= threshold.
 
-    100-TB shape, three shuffle-light passes over slim tables:
+    100-TB shape, two shuffle-light passes over slim tables:
     1. sketch pass: slim (id, band-bucket) rows -> ONE groupby shuffle ->
        per-bucket candidate edges (member, one of its `max_compare` earliest
        bucket peers) — no signatures, no text, no all-pairs blowup.
@@ -242,12 +244,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
        table would not fit — the texts resolve through the hash-partitioned
        pair join (stages/distributed.gather_pair_values): no broadcast, no
        per-worker copy, memory per task = corpus/buckets.
-    3. filter pass: distributed anti-join of the drop ids
-       (stages/distributed.filter_out_ids — no driver materialization).
+
+    Consumers: `minhash_lsh_dedup` (drops cand_b per edge) and
+    `cluster.connected_components` (duplicate-cluster canonicalization).
     """
     from .distributed import (_get_broadcast_table, default_reduce_buckets,
-                              fetch_rows_by_ids, filter_out_ids,
-                              gather_pair_values)
+                              fetch_rows_by_ids, gather_pair_values)
 
     n_coarse = default_reduce_buckets()
     sig_ds = ds.map_batches(
@@ -281,7 +283,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n_edges = edges.count()
     if n_edges == 0:
-        return ds
+        return None
 
     if n_edges * 2 > candidate_broadcast_limit:
         # partitioned verify: resolve both endpoint texts per edge through
@@ -290,17 +292,15 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                    edges, id_col, text_col)
 
         def verify_pair(batch: pa.Table) -> pa.Table:
-            drops = []
-            for b_id, ta, tb in zip(batch.column("cand_b").to_pylist(),
-                                    batch.column("val_a").to_pylist(),
-                                    batch.column("val_b").to_pylist()):
+            keep = []
+            for i, (ta, tb) in enumerate(zip(batch.column("val_a").to_pylist(),
+                                             batch.column("val_b").to_pylist())):
                 if ngram_jaccard(ta, tb, n=shingle_size) >= jaccard_threshold:
-                    drops.append(b_id)
-            return pa.table({"drop_id": pa.array(
-                drops, type=batch.column("cand_b").type)})
+                    keep.append(i)
+            return batch.select(["cand_a", "cand_b"]).take(
+                pa.array(keep, type=pa.int64()))
 
-        drop_ds = pairs.map_batches(verify_pair, batch_format="pyarrow")
-        return filter_out_ids(ds, drop_ds, id_col)
+        return pairs.map_batches(verify_pair, batch_format="pyarrow")
 
     cand_ids = edges.map_batches(
         lambda b: pa.table({id_col: pa.array(
@@ -314,15 +314,42 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         t = _get_broadcast_table(text_refs)
         texts = dict(zip(t.column(id_col).to_pylist(),
                          t.column(text_col).to_pylist()))
-        drops = []
-        for a, b in zip(batch.column("cand_a").to_pylist(),
-                        batch.column("cand_b").to_pylist()):
+        keep = []
+        for i, (a, b) in enumerate(zip(batch.column("cand_a").to_pylist(),
+                                       batch.column("cand_b").to_pylist())):
             if ngram_jaccard(texts.get(a), texts.get(b),
                              n=shingle_size) >= jaccard_threshold:
-                drops.append(b)
-        return pa.table({"drop_id": pa.array(drops, type=batch.column("cand_b").type)})
+                keep.append(i)
+        return batch.select(["cand_a", "cand_b"]).take(
+            pa.array(keep, type=pa.int64()))
 
-    drop_ds = edges.map_batches(verify, batch_format="pyarrow")
+    return edges.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.8, shingle_size: int = 3,
+                      max_compare: int = 4, concurrency=None,
+                      candidate_broadcast_limit: int = 2_500_000):
+    """Near-dup removal: a doc is dropped when it shares an LSH band bucket
+    with an earlier-id doc whose EXACT n-gram Jaccard >= threshold.
+    Passes 1-2 (sketch + verify) live in `minhash_lsh_verified_edges`; this
+    adds pass 3 — a distributed anti-join of the later-id edge endpoints
+    (stages/distributed.filter_out_ids — no driver materialization)."""
+    from .distributed import filter_out_ids
+
+    verified = minhash_lsh_verified_edges(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, shingle_size=shingle_size,
+        max_compare=max_compare, concurrency=concurrency,
+        candidate_broadcast_limit=candidate_broadcast_limit)
+    if verified is None:
+        return ds
+
+    def losers(batch: pa.Table) -> pa.Table:
+        return pa.table({"drop_id": batch.column("cand_b")})
+
+    drop_ds = verified.map_batches(losers, batch_format="pyarrow")
     return filter_out_ids(ds, drop_ds, id_col)
 
 

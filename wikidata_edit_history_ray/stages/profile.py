@@ -1,0 +1,61 @@
+"""Dataset profiling operators: exact distributed quantiles.
+
+Exact quantiles of an integer-valued column without a global sort: the
+classic VALUE-HISTOGRAM reduction. Per-block `value_counts` partials ->
+one (value, count) groupby-sum shuffle (cardinality = distinct values of the
+column, e.g. a few thousand for document lengths — bytes, not terabytes) ->
+the tiny histogram sorts on the driver and a cumulative-count walk reads the
+quantiles off exactly. No sampling error (t-digest/GK sketches trade
+accuracy for the cases where the value domain is unbounded floats; for
+int-valued profile columns the histogram IS the exact answer at a fraction
+of a sort's cost).
+
+Definition (mirrors the oracle SQL verbatim): quantile(q) = the smallest
+value v whose cumulative count >= ceil(q * N).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Dataset -> Dataset of (q float64, value int64), one row per quantile.
+
+    `col` must be integer-valued. The only full pass is the per-block
+    partial count; everything after operates on the distinct-value
+    histogram."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col))
+        return pa.table({
+            "v": pc.cast(vc.field("values"), pa.int64()),
+            "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").sum("cnt")
+    # distinct-value histogram: small by construction — driver-side finish
+    rows = hist.take_all()
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([], type=pa.float64()),
+            "value": pa.array([], type=pa.int64())}))
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = math.ceil(q * total)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, type=pa.float64()),
+        "value": pa.array(out_v, type=pa.int64())}))

@@ -156,6 +156,115 @@ def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa
                  type=pa.int64()))
 
 
+# ---- vocabulary / decontamination / PII redaction ----
+
+# ASCII word tokens over lowercased text — matches the oracle's
+# regexp_extract_all(lower(text), '[a-z0-9]+') exactly (RE2 and Python `re`
+# agree on this pattern; [a-z0-9] only matches ASCII under both)
+_VOCAB_RE = re.compile(r"[a-z0-9]+")
+
+
+def _batch_tokens(texts: pa.ChunkedArray | pa.Array) -> list[str]:
+    """One C-level regex scan over the newline-joined lowered batch — token
+    lists per doc are not needed for global counts, so docs are scanned as a
+    single blob (newline can't appear inside a token)."""
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    blob = "\n".join(lowered.to_pylist())
+    return _VOCAB_RE.findall(blob)
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 1000):
+    """Global token vocabulary: top-k [a-z0-9]+ tokens of the lowercased
+    corpus by (count desc, token asc) -> Dataset of (token, count).
+
+    100-TB shape: per-batch partial counts (one regex scan + one Counter per
+    batch) mean the shuffle moves (token, partial_count) rows — bounded by
+    batches x per-batch-distinct-tokens, not corpus tokens; the groupby-sum
+    output is vocabulary-sized and the final sort runs on that, never on the
+    corpus."""
+    from collections import Counter
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = Counter(_batch_tokens(batch.column(text_col)))
+        return pa.table({
+            "token": pa.array(list(counts.keys()), type=pa.string()),
+            "count": pa.array(list(counts.values()), type=pa.int64())})
+
+    totals = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").sum("count")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": batch.column("token"),
+                         "count": pc.cast(batch.column("sum(count)"),
+                                          pa.int64())})
+
+    return totals.map_batches(rename, batch_format="pyarrow") \
+        .sort(["count", "token"], descending=[True, False]).limit(k)
+
+
+def _doc_ngrams(text: str, n: int = 3) -> set:
+    toks = _VOCAB_RE.findall((text or "").lower())
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontaminate_flags(ds, bench_ds, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3):
+    """Benchmark decontamination: flag every doc sharing any word n-gram with
+    the benchmark set -> Dataset of (id_col, 'contaminated' int64 0/1).
+
+    100-TB shape: eval benchmarks are small by nature, so the benchmark
+    n-gram set is built once and BROADCAST (object-store block refs fetched
+    once per worker — stages/distributed.broadcast_dataset), never a shuffle
+    join; the corpus side is one streaming map_batches membership probe."""
+    from .distributed import _get_broadcast_set, broadcast_dataset
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams = set()
+        for t in batch.column(text_col).to_pylist():
+            grams |= _doc_ngrams(t, n)
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    gram_refs = broadcast_dataset(
+        bench_ds.map_batches(bench_grams, batch_format="pyarrow"))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = _get_broadcast_set(gram_refs, "gram")
+        flags = np.empty(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            flags[i] = int(not _doc_ngrams(t, n).isdisjoint(bench))
+        return pa.table({id_col: batch.column(id_col),
+                         "contaminated": pa.array(flags, type=pa.int64())})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# PII patterns (RE2-compatible — the same source strings run under Arrow's
+# RE2 kernels here and DuckDB's RE2 regexp_replace in the oracle)
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails then long digit runs (phone/account-number shaped),
+    fully inside Arrow RE2 kernels: counts first (n_emails on the raw text,
+    n_numbers on the email-redacted text so digits inside an address aren't
+    double-counted), then the two replacements. Adds clean_text, n_emails,
+    n_numbers."""
+    texts = pc.fill_null(batch.column(text_col), "")
+    n_emails = pc.cast(
+        pc.count_substring_regex(texts, pattern=PII_EMAIL_RE), pa.int64())
+    no_email = pc.replace_substring_regex(
+        texts, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+    n_numbers = pc.cast(
+        pc.count_substring_regex(no_email, pattern=PII_LONG_DIGITS_RE),
+        pa.int64())
+    clean = pc.replace_substring_regex(
+        no_email, pattern=PII_LONG_DIGITS_RE, replacement="<NUMBER>")
+    out = batch.append_column("clean_text", clean)
+    out = out.append_column("n_emails", n_emails)
+    return out.append_column("n_numbers", n_numbers)
+
+
 # ---- Dataset-level wrappers ----
 
 def analyze_text(ds, text_col: str = "text", ops=("language", "tokens", "quality", "fingerprint")):
