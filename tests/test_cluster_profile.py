@@ -47,7 +47,7 @@ class TestConnectedComponents:
         assert got == _brute_cc(nodes, edges)
         assert got[3] == 0 and got[13] == 10 and got[99] == 99
 
-    def test_randomized_vs_union_find(self, ray_session):
+    def test_randomized_vs_union_find_broadcast_path(self, ray_session):
         rng = np.random.default_rng(7)
         nodes = list(range(400))
         edges = [tuple(rng.choice(400, size=2, replace=False))
@@ -56,17 +56,29 @@ class TestConnectedComponents:
         got = self._run(ray_session, nodes, edges)
         assert got == _brute_cc(nodes, edges)
 
+    def test_randomized_iterative_path_identical(self, ray_session):
+        # small_edge_limit=0 forces the min-label-propagation rounds
+        rng = np.random.default_rng(11)
+        nodes = list(range(120))
+        edges = [tuple(rng.choice(120, size=2, replace=False))
+                 for _ in range(90)]
+        edges = [(int(a), int(b)) for a, b in edges]
+        got = self._run(ray_session, nodes, edges, small_edge_limit=0)
+        assert got == _brute_cc(nodes, edges)
+
     def test_no_edges_all_singletons(self, ray_session):
         got = self._run(ray_session, [5, 6, 7], [])
         assert got == {5: 5, 6: 6, 7: 7}
 
     def test_max_iters_raises_loudly(self, ray_session):
-        # a 12-hop path needs ~12 rounds; max_iters=2 must raise, never
-        # silently return partial labels
+        # iterative path (limit=0): pointer jumping reaches ~3 hops in 2
+        # rounds, far short of the 12-hop path — must raise, never silently
+        # return partial labels
         nodes = list(range(13))
         edges = [(i, i + 1) for i in range(12)]
         with pytest.raises(RuntimeError, match="did not converge"):
-            self._run(ray_session, nodes, edges, max_iters=2)
+            self._run(ray_session, nodes, edges, max_iters=2,
+                      small_edge_limit=0)
 
     def test_custom_column_names(self, ray_session):
         import ray.data

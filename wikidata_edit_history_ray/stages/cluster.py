@@ -55,7 +55,8 @@ def _tag_bucket(batch: pa.Table, col: str, buckets: int,
 
 def connected_components(nodes, edges, node_col: str = "node",
                          src_col: str = "src", dst_col: str = "dst",
-                         buckets: int | None = None, max_iters: int = 30):
+                         buckets: int | None = None, max_iters: int = 30,
+                         small_edge_limit: int = 1_000_000):
     """(nodes, edges) -> Dataset of (node_col, 'cluster_id').
 
     `nodes`: Dataset with a UNIQUE integer id column `node_col` (isolated
@@ -63,6 +64,16 @@ def connected_components(nodes, edges, node_col: str = "node",
     columns (src_col, dst_col) whose endpoints all appear in `nodes`;
     direction is ignored (symmetrized internally). cluster_id = min node id
     reachable through the undirected edge set.
+
+    Edge sets up to `small_edge_limit` take the BROADCAST path: the slim
+    (src, dst) pairs (16 MB at the 1M default) come to the driver, a
+    union-find solves them in one pass, and only the non-singleton
+    node->root map ships back through the object store for a streaming
+    label assignment over `nodes` — the same small-side-broadcast economics
+    as the dedup anti-joins, and the common case for LSH dup edges (a few
+    percent of corpus rows). Bigger edge sets run the iterative
+    min-label-propagation rounds; the corpus-sized `nodes` table streams in
+    both paths.
     """
     import ray.data
 
@@ -77,6 +88,9 @@ def connected_components(nodes, edges, node_col: str = "node",
 
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
     n_edges = edges_sym.count()
+
+    if 0 < n_edges <= 2 * small_edge_limit:  # sym table = 2x input edges
+        return _cc_broadcast(nodes, edges_sym, node_col)
 
     if buckets is None:
         # sized by graph rows, not cluster: tiny graphs run in 4 tasks with
@@ -113,6 +127,60 @@ def connected_components(nodes, edges, node_col: str = "node",
         f"connected_components did not converge in {max_iters} rounds — "
         f"component diameter exceeds 2^max_iters reach; raise max_iters "
         f"(results are never silently truncated)")
+
+
+def _cc_broadcast(nodes, edges_sym, node_col: str):
+    """Small-edge-set path: driver union-find over the slim pair table,
+    broadcast of the non-singleton node->root map, streaming assignment."""
+    import ray
+
+    pairs = edges_sym.to_pandas()
+    src = pairs["src"].to_numpy(dtype=np.int64)
+    dst = pairs["dst"].to_numpy(dtype=np.int64)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    remap_n, remap_r = [], []
+    for n in set(src.tolist()):  # sym table contains every endpoint as src
+        r = find(n)
+        if r != n:
+            remap_n.append(n)
+            remap_r.append(r)
+    order = np.argsort(np.asarray(remap_n, dtype=np.int64))
+    map_ref = ray.put(pa.table({
+        "n": pa.array(np.asarray(remap_n, dtype=np.int64)[order]),
+        "r": pa.array(np.asarray(remap_r, dtype=np.int64)[order])}))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)  # zero-copy from the local object store
+        keys = m.column("n").to_numpy(zero_copy_only=False)
+        roots = m.column("r").to_numpy(zero_copy_only=False)
+        nv = batch.column(node_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(keys) == 0:
+            lbl = nv
+        else:
+            idx = np.searchsorted(keys, nv)
+            idxc = np.minimum(idx, len(keys) - 1)
+            hit = keys[idxc] == nv
+            lbl = np.where(hit, roots[idxc], nv)
+        return pa.table({node_col: batch.column(node_col),
+                         "cluster_id": pa.array(lbl, type=pa.int64())})
+
+    return nodes.map_batches(assign, batch_format="pyarrow")
 
 
 def _rename(ds, node_col: str):
