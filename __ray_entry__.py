@@ -940,6 +940,42 @@ def _q_pii_redact(sf_dir: str):
                                "n_numbers"])
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc TF-IDF top-3 terms: corpus DF pass -> broadcast (token, df)
+    dict -> one streaming scored pass (stages/text_ops.tfidf_top_terms)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signal: word-bigram total/distinct counts and
+    duplicate fraction per doc — pure per-doc batch kernel."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split: md5(doc_id)-derived bucket mapped
+    through 90/95/100 bands — zero shuffle, identical on any cluster."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.sampling import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return hash_split(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1000,6 +1036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "length_quantiles": _q_length_quantiles,
         "pii_redact": _q_pii_redact,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "doc_repetition": _q_doc_repetition,
+        "hash_split": _q_hash_split,
     }
 
 
@@ -1458,5 +1497,67 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT
                      AS n_numbers
             FROM pass1
+        """,
+        # score left unrounded on both sides: tf * ln(N/df) runs through the
+        # same libm on this machine, so the doubles are bit-identical
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df
+                   FROM toks GROUP BY token),
+            n AS (SELECT COUNT(*)::DOUBLE AS nn FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token,
+                     tf.tf * ln((SELECT nn FROM n) / df.df) AS score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((SELECT nn FROM n) / df.df) DESC,
+                                tf.token) AS rk
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, score FROM scored WHERE rk <= 3
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS total_bigrams,
+                     COUNT(DISTINCT g)::BIGINT AS distinct_bigrams
+              FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.total_bigrams, 0)::BIGINT AS total_bigrams,
+                   COALESCE(a.distinct_bigrams, 0)::BIGINT
+                     AS distinct_bigrams,
+                   (CASE WHEN a.total_bigrams > 0
+                         THEN 1.0 - a.distinct_bigrams
+                                    / a.total_bigrams::DOUBLE
+                         ELSE 0.0 END)::DOUBLE AS rep_ratio
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 100 AS b
+                  FROM documents)
         """,
     }

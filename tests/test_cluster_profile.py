@@ -234,6 +234,103 @@ class TestRedactPII:
         assert out.column("n_numbers").to_pylist() == [0]
 
 
+class TestTfIdfTopTerms:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import tfidf_top_terms
+
+        texts = ["apple banana apple", "banana cherry", "apple delta delta",
+                 None, "cherry cherry cherry epsilon"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})).repartition(2)
+        got = [(r["doc_id"], r["token"], r["score"])
+               for r in tfidf_top_terms(ds, k=2).take_all()]
+        got.sort()
+
+        n = 5.0
+        df = Counter()
+        for t in texts:
+            df.update(set(re.findall(r"[a-z0-9]+", (t or "").lower())))
+        exp = []
+        for d, t in enumerate(texts):
+            tf = Counter(re.findall(r"[a-z0-9]+", (t or "").lower()))
+            if not tf:
+                continue
+            scored = sorted(((c * math.log(n / df[tok]), tok)
+                             for tok, c in tf.items()),
+                            key=lambda s: (-s[0], s[1]))[:2]
+            exp += [(d, tok, s) for s, tok in scored]
+        exp.sort()
+        assert got == exp
+
+    def test_empty_docs_emit_nothing(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import tfidf_top_terms
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["", "only doc"], type=pa.string())}))
+        rows = tfidf_top_terms(ds, k=5).take_all()
+        assert {r["doc_id"] for r in rows} == {2}
+
+
+class TestRepetitionStats:
+    def test_known_answers(self):
+        from wikidata_edit_history_ray.stages.text_ops import repetition_stats
+
+        batch = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                "a b a b a",        # bigrams: ab,ba,ab,ba -> 4 total 2 dist
+                "x y z",            # xy,yz -> 2 total 2 distinct
+                "solo",             # <2 tokens
+                None], type=pa.string())})
+        out = repetition_stats(batch)
+        assert out.column("total_bigrams").to_pylist() == [4, 2, 0, 0]
+        assert out.column("distinct_bigrams").to_pylist() == [2, 2, 0, 0]
+        assert out.column("rep_ratio").to_pylist() == [0.5, 0.0, 0.0, 0.0]
+
+
+class TestHashSplit:
+    def test_deterministic_and_banded(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import hash_split
+
+        ids = list(range(200))
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64())})).repartition(4)
+        got = {r["doc_id"]: r["split"] for r in hash_split(ds).take_all()}
+
+        def expect(v):
+            b = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+            return "train" if b < 90 else ("val" if b < 95 else "test")
+
+        assert got == {i: expect(i) for i in ids}
+        # all three bands non-empty at 200 ids
+        assert set(got.values()) == {"train", "val", "test"}
+
+    def test_custom_bands(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import hash_split
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array(range(50), type=pa.int64())}))
+        got = {r["split"]
+               for r in hash_split(ds, bands=(("all", 100),)).take_all()}
+        assert got == {"all"}
+
+
 class TestMinhashVerifiedEdges:
     def _mk(self, ray, n=40):
         import ray.data

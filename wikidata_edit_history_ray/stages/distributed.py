@@ -89,6 +89,20 @@ def _get_broadcast_set(refs, col: str) -> set:
     return hit
 
 
+def _get_broadcast_dict(refs, key_col: str, val_col: str) -> dict:
+    """Fetch a broadcast two-column table as a lookup dict, built once per
+    worker process (the dict build is O(rows) Python — not per batch)."""
+    key = (tuple(r.hex() for r in refs), key_col, val_col, "dict")
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        t = _get_broadcast_table(refs)
+        hit = (dict(zip(t.column(key_col).to_pylist(),
+                        t.column(val_col).to_pylist()))
+               if t is not None else {})
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
 def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
                    broadcast_limit: int = 2_000_000, buckets: int | None = None):
     """Remove from `ds` every row whose `id_col` appears in `drop_ds[drop_col]`.

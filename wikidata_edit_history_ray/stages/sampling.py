@@ -40,3 +40,26 @@ def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id"):
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
         .groupby(stratum_col).map_groups(final_topk, batch_format="pandas")
+
+
+def hash_split(ds, id_col: str = "doc_id",
+               bands=(("train", 90), ("val", 95), ("test", 100))):
+    """Deterministic train/val/test assignment: bucket = first 8 hex chars
+    of md5(str(id)) mod 100, mapped through cumulative `bands` thresholds
+    (name, upper_bound_exclusive-ish: bucket < bound). Adds a `split`
+    column. Pure function of the id — reruns, resumes and any cluster
+    shape produce the identical split; zero shuffle (one streaming
+    map_batches). Oracle: the same md5-substring arithmetic in SQL."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                   % 100 for v in batch.column(id_col).to_pylist()]
+        names = []
+        for b in buckets:
+            for name, bound in bands:
+                if b < bound:
+                    names.append(name)
+                    break
+        return batch.append_column("split", pa.array(names, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

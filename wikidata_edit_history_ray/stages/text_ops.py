@@ -238,6 +238,92 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3):
+    """Per-doc TF-IDF top-k terms -> Dataset of (id_col, token, score),
+    score = tf * ln(N / df) (raw double — identical libm bits on the engine
+    and DuckDB sides, so no rounding is needed or wanted), ranked
+    (score desc, token asc); empty docs emit nothing.
+
+    100-TB shape — a corpus statistic joined back into a per-doc transform:
+    pass 1 computes document frequency from per-batch partial counts of
+    per-doc DISTINCT tokens (shuffle volume = vocabulary x batches, never
+    corpus tokens); the resulting vocabulary-sized (token, df) table is
+    BROADCAST (block refs, dict built once per worker) and pass 2 streams
+    the corpus once, scoring and top-k-ing inside the batch. No
+    corpus-sized shuffle at any point. ln via libm (math.log) so the bits
+    match the DuckDB oracle's ln()."""
+    import math
+    from collections import Counter
+
+    from .distributed import _get_broadcast_dict, broadcast_dataset
+
+    n_docs = float(ds.count())
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(set(_VOCAB_RE.findall((t or "").lower())))
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "df": pa.array(list(c.values()), type=pa.int64())})
+
+    df_ds = ds.map_batches(partial_df, batch_format="pyarrow") \
+        .groupby("token").sum("df")
+    df_refs = broadcast_dataset(df_ds.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "df": pc.cast(b.column("sum(df)"), pa.int64())}),
+        batch_format="pyarrow"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_map = _get_broadcast_dict(df_refs, "token", "df")
+        out_id, out_tok, out_score = [], [], []
+        for d, txt in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            tf = Counter(_VOCAB_RE.findall((txt or "").lower()))
+            if not tf:
+                continue
+            scored = sorted(
+                ((t * math.log(n_docs / df_map[tok]), tok)
+                 for tok, t in tf.items()),
+                key=lambda s: (-s[0], s[1]))[:k]
+            for s, tok in scored:
+                out_id.append(d)
+                out_tok.append(tok)
+                out_score.append(s)
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "token": pa.array(out_tok, type=pa.string()),
+            "score": pa.array(out_score, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signal per doc: total and distinct
+    word 2-grams plus the duplicate fraction rep_ratio = 1 - distinct/total
+    (0.0 for docs with < 2 tokens; raw double — small-int division is
+    bit-identical to the SQL oracle's, no rounding). Pure per-doc batch
+    kernel — composes into any map_batches stage."""
+    ids = batch.column(id_col)
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    for i, txt in enumerate(batch.column(text_col).to_pylist()):
+        toks = _VOCAB_RE.findall((txt or "").lower())
+        n = len(toks) - 1
+        if n <= 0:
+            continue
+        total[i] = n
+        distinct[i] = len({(toks[j], toks[j + 1]) for j in range(n)})
+    ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+    return pa.table({
+        id_col: ids,
+        "total_bigrams": pa.array(total),
+        "distinct_bigrams": pa.array(distinct),
+        "rep_ratio": pa.array(ratio, type=pa.float64())})
+
+
 # PII patterns (RE2-compatible — the same source strings run under Arrow's
 # RE2 kernels here and DuckDB's RE2 regexp_replace in the oracle)
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
