@@ -964,6 +964,18 @@ def _q_doc_repetition(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def _q_length_quantiles_by_lang(sf_dir: str):
+    """Exact per-language n_chars quantiles via the grouped value-histogram
+    reduction (stages/profile.grouped_quantiles)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.profile import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "n_chars", "lang")
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic train/val/test split: md5(doc_id)-derived bucket mapped
     through 90/95/100 bands — zero shuffle, identical on any cluster."""
@@ -1039,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_repetition": _q_doc_repetition,
         "hash_split": _q_hash_split,
+        "length_quantiles_by_lang": _q_length_quantiles_by_lang,
     }
 
 
@@ -1549,6 +1562,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                     / a.total_bigrams::DOUBLE
                          ELSE 0.0 END)::DOUBLE AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "length_quantiles_by_lang": """
+            WITH hist AS (
+              SELECT lang AS g, n_chars AS v, COUNT(*)::BIGINT AS cnt
+              FROM documents GROUP BY g, v
+            ),
+            c AS (
+              SELECT g, v,
+                     SUM(cnt) OVER (PARTITION BY g ORDER BY v)::DOUBLE
+                       AS cum,
+                     SUM(cnt) OVER (PARTITION BY g)::DOUBLE AS total
+              FROM hist
+            ),
+            qs AS (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+            SELECT g AS lang, q::DOUBLE AS q, MIN(v)::BIGINT AS value
+            FROM qs JOIN c ON c.cum >= ceil(q::DOUBLE * c.total)
+            GROUP BY g, q
         """,
         "hash_split": """
             SELECT doc_id,

@@ -132,6 +132,27 @@ class TestColumnQuantiles:
         got = column_quantiles(ds, "x").take_all()
         assert all(r["value"] == 7 for r in got)
 
+    def test_grouped_vs_numpy(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.profile import grouped_quantiles
+
+        rng = np.random.default_rng(5)
+        groups = rng.choice(["a", "b", "c"], size=900).tolist()
+        vals = rng.integers(0, 300, size=900)
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(groups, type=pa.string()),
+            "x": pa.array(vals, type=pa.int64())})).repartition(6)
+        qs = (0.25, 0.5, 0.9)
+        got = {(r["g"], r["q"]): r["value"]
+               for r in grouped_quantiles(ds, "x", "g", qs=qs).take_all()}
+        exp = {}
+        for g in "abc":
+            gv = np.asarray([v for gg, v in zip(groups, vals) if gg == g])
+            exp.update({(g, q): v for q, v in
+                        self._brute(gv, qs).items()})
+        assert got == exp
+
 
 class TestVocabTopK:
     def test_vs_counter(self, ray_session):

@@ -59,3 +59,44 @@ def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     return ray.data.from_arrow(pa.table({
         "q": pa.array(out_q, type=pa.float64()),
         "value": pa.array(out_v, type=pa.int64())}))
+
+
+def grouped_quantiles(ds, col: str, group_col: str,
+                      qs=(0.25, 0.5, 0.9)):
+    """Exact per-group quantiles -> Dataset of (group_col, q, value).
+
+    Same value-histogram reduction as `column_quantiles`, grouped: per-batch
+    Arrow group_by partials -> one (group, value) groupby-sum shuffle
+    (cardinality = groups x distinct values, not rows) -> per-group
+    cumulative walk inside map_groups. The only corpus-sized pass is the
+    partial count; every group's finish step sees only its own tiny
+    histogram, so skewed group sizes cost nothing."""
+    import math
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, col]) \
+            .group_by([group_col, col]).aggregate([([], "count_all")])
+        return pa.table({
+            "g": g.column(group_col),
+            "v": pc.cast(g.column(col), pa.int64()),
+            "cnt": pc.cast(g.column("count_all"), pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["g", "v"]).sum("cnt")
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("v", kind="mergesort")
+        cum = group["sum(cnt)"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = group["v"].to_numpy()
+        rows = []
+        for q in qs:
+            rank = math.ceil(q * total)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((group["g"].iloc[0], float(q),
+                         int(vals[min(idx, len(vals) - 1)])))
+        return pd.DataFrame(rows, columns=[group_col, "q", "value"])
+
+    return hist.groupby("g").map_groups(finish, batch_format="pandas")
