@@ -89,6 +89,13 @@ def _text_expect_path(sf_dir: str) -> str:
     return path
 
 
+def _corpus_glob(sf_dir: str) -> str:
+    """DuckDB-readable path for the corpus: tiny tiers cache a single
+    parquet file, bigger tiers a shard directory."""
+    p = _corpus_path(sf_dir)
+    return p if os.path.isfile(p) else f"{p}/*.parquet"
+
+
 def _docs_ds(sf_dir: str):
     import ray
 
@@ -964,6 +971,18 @@ def _q_doc_repetition(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def _q_kg_interleaved_pack(sf_dir: str):
+    """Multimodal sequence assembly over the interleaved corpus: explode
+    text/media spans (media = 64 patch tokens), pack the global (doc, span)
+    stream into 2048-token training sequences via the distributed prefix
+    sum (stages/packing.interleaved_span_pack). Oracle: SQL window over the
+    corpus parquet itself — non-circular."""
+    from wikidata_edit_history_ray.stages.packing import interleaved_span_pack
+
+    return interleaved_span_pack(_docs_ds(sf_dir), max_tokens=2048,
+                                 media_token_cost=64)
+
+
 def _q_length_quantiles_by_lang(sf_dir: str):
     """Exact per-language n_chars quantiles via the grouped value-histogram
     reduction (stages/profile.grouped_quantiles)."""
@@ -1052,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "hash_split": _q_hash_split,
         "length_quantiles_by_lang": _q_length_quantiles_by_lang,
+        "kg_interleaved_pack": _q_kg_interleaved_pack,
     }
 
 
@@ -1589,5 +1609,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                               1, 8)) AS BIGINT) % 100 AS b
                   FROM documents)
+        """,
+        # direct window over the corpus parquet itself (non-circular): the
+        # engine's distributed prefix sum must equal the global running-sum
+        # window over the (qnum, span_index) order
+        "kg_interleaved_pack": f"""
+            WITH sp AS (
+              SELECT doc_id,
+                     CAST(substr(doc_id, 2) AS BIGINT) AS qnum,
+                     i AS span_index,
+                     (CASE WHEN spans[i+1].kind = 'text'
+                           THEN length(regexp_extract_all(
+                                  coalesce(spans[i+1].text, ''), '\\S+'))
+                           ELSE 64 END)::BIGINT AS span_tokens
+              FROM read_parquet('{_corpus_glob(sf_dir)}'),
+                   unnest(range(len(spans))) AS u(i)
+            ),
+            w AS (
+              SELECT doc_id, span_index, span_tokens,
+                     SUM(span_tokens) OVER (
+                       ORDER BY qnum * 1048576 + span_index
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sp
+            )
+            SELECT doc_id, span_index::BIGINT AS span_index, span_tokens,
+                   ((cum - span_tokens) // 2048)::BIGINT AS pack_id
+            FROM w
         """,
     }

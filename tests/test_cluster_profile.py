@@ -352,6 +352,71 @@ class TestHashSplit:
         assert got == {"all"}
 
 
+class TestInterleavedSpanPack:
+    def _docs(self, n_docs=25, seed=3):
+        rng = np.random.default_rng(seed)
+        ids, spans = [], []
+        for d in range(n_docs):
+            ids.append(f"Q{d + 100}")
+            doc = []
+            for i in range(int(rng.integers(1, 8))):
+                if rng.random() < 0.3:
+                    doc.append({"kind": "media", "text": "",
+                                "media_ref": f"media://x/{d}/{i}",
+                                "offset": i})
+                else:
+                    words = " ".join(
+                        f"w{j}" for j in range(int(rng.integers(0, 30))))
+                    doc.append({"kind": "text", "text": words,
+                                "media_ref": "", "offset": i})
+            spans.append(doc)
+        return ids, spans
+
+    def test_vs_global_window(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import \
+            interleaved_span_pack
+
+        ids, spans = self._docs()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "spans": s} for i, s in zip(ids, spans)]) \
+            .repartition(4)
+        got = sorted(
+            (r["doc_id"], r["span_index"], r["span_tokens"], r["pack_id"])
+            for r in interleaved_span_pack(
+                ds, max_tokens=100, media_token_cost=64).take_all())
+
+        # brute force: global ordered stream, exclusive prefix // budget
+        stream = []
+        for i, s in zip(ids, spans):
+            qnum = int(i[1:])
+            for j, sp in enumerate(s):
+                tok = (len(sp["text"].split()) if sp["kind"] == "text"
+                       else 64)
+                stream.append((qnum, j, i, tok))
+        stream.sort()
+        exp, cum = [], 0
+        for qnum, j, i, tok in stream:
+            exp.append((i, j, tok, cum // 100))
+            cum += tok
+        assert got == sorted(exp)
+
+    def test_span_limit_guard(self, ray_session, monkeypatch):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages import packing
+
+        # shrink the order-key width so 16 spans already collide — the raise
+        # itself happens inside the worker-side explode
+        monkeypatch.setattr(packing, "_SPAN_IDX_BITS", 4)
+        many = [{"kind": "text", "text": "a", "media_ref": "", "offset": i}
+                for i in range(16)]
+        ds = ray.data.from_items([{"doc_id": "Q1", "spans": many}])
+        with pytest.raises(Exception, match="span order key would collide"):
+            packing.interleaved_span_pack(ds).take_all()
+
+
 class TestMinhashVerifiedEdges:
     def _mk(self, ray, n=40):
         import ray.data

@@ -81,3 +81,68 @@ def pack_sequences(ds, token_col: str, max_tokens: int,
         return g
 
     return tagged.groupby("_range").map_groups(finalize, batch_format="pandas")
+
+
+_SPAN_IDX_BITS = 20  # span order key = qnum << 20 | span_index
+
+
+def interleaved_span_pack(docs_ds, max_tokens: int = 2048,
+                          media_token_cost: int = 64,
+                          doc_col: str = "doc_id", spans_col: str = "spans",
+                          num_ranges: int | None = None):
+    """Multimodal sequence assembly over interleaved documents: explode each
+    doc's ordered text/media spans, cost text spans by whitespace tokens
+    (RE2 \\S+, same kernel as token_counts) and media spans at a fixed
+    `media_token_cost` (the patch-token budget of a vision encoder), then
+    pack the GLOBAL (doc, span) stream into fixed-`max_tokens` training
+    sequences -> Dataset of (doc_col, span_index, span_tokens, pack_id).
+
+    Rides pack_sequences' distributed ordered prefix sum: the only moved
+    rows are slim (order, tokens) pairs — span text never shuffles. The
+    order key packs (numeric doc id, span index) into one int64, so the
+    pack assignment is decoded arithmetically afterwards with no join.
+    Docs above 2^20 spans are rejected loudly (key collision, never silent
+    misorder)."""
+    import pyarrow.compute as pc
+
+    limit = 1 << _SPAN_IDX_BITS
+
+    def explode(batch: pa.Table) -> pa.Table:
+        orders, tokens = [], []
+        for qid, spans in zip(batch.column(doc_col).to_pylist(),
+                              batch.column(spans_col).to_pylist()):
+            qnum = int(qid[1:])
+            if len(spans) >= limit:
+                raise ValueError(
+                    f"doc {qid} has {len(spans)} spans >= 2^{_SPAN_IDX_BITS}"
+                    f" — span order key would collide; raise _SPAN_IDX_BITS")
+            texts = pa.array([s["text"] or "" for s in spans],
+                             type=pa.string())
+            ws = pc.count_substring_regex(texts, pattern=r"\S+").to_numpy(
+                zero_copy_only=False)
+            for i, s in enumerate(spans):
+                orders.append((qnum << _SPAN_IDX_BITS) | i)
+                tokens.append(int(ws[i]) if s["kind"] == "text"
+                              else media_token_cost)
+        return pa.table({
+            "span_order": pa.array(orders, type=pa.int64()),
+            "span_tokens": pa.array(tokens, type=pa.int64())})
+
+    packed = pack_sequences(
+        docs_ds.map_batches(explode, batch_format="pyarrow"),
+        token_col="span_tokens", max_tokens=max_tokens,
+        order_col="span_order", num_ranges=num_ranges)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        order = batch.column("span_order").to_numpy(zero_copy_only=False)
+        qnum = order >> _SPAN_IDX_BITS
+        idx = order & (limit - 1)
+        doc = pc.binary_join_element_wise(
+            "Q", pc.cast(pa.array(qnum), pa.string()), "")
+        return pa.table({
+            doc_col: doc,
+            "span_index": pa.array(idx, type=pa.int64()),
+            "span_tokens": batch.column("span_tokens"),
+            "pack_id": batch.column("pack_id")})
+
+    return packed.map_batches(decode, batch_format="pyarrow")
