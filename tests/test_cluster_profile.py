@@ -209,6 +209,54 @@ class TestDecontaminate:
         got = {r["doc_id"]: r["contaminated"] for r in out.take_all()}
         assert got == {1: 1, 2: 0, 3: 0, 4: 1}
 
+    def test_shuffle_path_identical_to_broadcast(self, ray_session):
+        # broadcast_limit=0 forces the gram-hash co-partition path AND the
+        # shuffle flag join; results must match the broadcast path exactly
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import \
+            decontaminate_flags
+
+        rng = np.random.default_rng(13)
+        vocab = [f"t{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(60)]
+        docs = pa.table({
+            "doc_id": pa.array(range(60), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+        bench = pa.table({
+            "doc_id": pa.array([1000, 1001], type=pa.int64()),
+            "text": pa.array(texts[:2], type=pa.string())})
+        ds = ray.data.from_arrow(docs).repartition(4)
+        bds = ray.data.from_arrow(bench)
+        base = {r["doc_id"]: r["contaminated"]
+                for r in decontaminate_flags(ds, bds).take_all()}
+        shuf = {r["doc_id"]: r["contaminated"]
+                for r in decontaminate_flags(
+                    ds, bds, broadcast_limit=0).take_all()}
+        assert shuf == base
+        assert base[0] == 1 and base[1] == 1  # bench contains texts[:2]
+
+    def test_membership_flags_both_paths(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.distributed import \
+            membership_flags
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "x": pa.array([f"v{i}" for i in range(30)],
+                          type=pa.string())})).repartition(3)
+        ids = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([3, 7, 29], type=pa.int64())}))
+        exp = {i: int(i in {3, 7, 29}) for i in range(30)}
+        for limit in (2_000_000, 0):
+            rows = membership_flags(ds, ids, "doc_id",
+                                    flag_col="hit",
+                                    broadcast_limit=limit).take_all()
+            assert {r["doc_id"]: r["hit"] for r in rows} == exp
+            # wide columns survive both paths
+            assert all(r["x"] == f"v{r['doc_id']}" for r in rows)
+
     def test_short_docs_never_flagged(self, ray_session):
         import ray.data
 

@@ -14,6 +14,7 @@ Two building blocks the dedup/enrichment stages share:
 """
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 def default_reduce_buckets(minimum: int = 64) -> int:
@@ -131,6 +132,72 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
 
         return ds.map_batches(filter_batch, batch_format="pyarrow")
     return _anti_join_shuffle(ds, drop_small, id_col, drop_col, buckets)
+
+
+def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
+                     member_col: str | None = None,
+                     broadcast_limit: int = 2_000_000,
+                     buckets: int | None = None):
+    """Append an int64 0/1 `flag_col` to `ds` marking whether `id_col` is in
+    `ids_ds[member_col]` — the flag-emitting sibling of filter_out_ids,
+    same dual path: broadcast set below `broadcast_limit`, hash-partitioned
+    shuffle join beyond (neither side materializes centrally)."""
+    member_col = member_col or id_col
+    small = ids_ds.select_columns([member_col]).materialize()
+    _pin(small)
+    if buckets is None:
+        buckets = default_reduce_buckets()
+
+    if small.count() <= broadcast_limit:
+        refs = tuple(small.to_arrow_refs())
+
+        def flag_batch(batch: pa.Table) -> pa.Table:
+            members = _get_broadcast_set(refs, member_col)
+            flags = [int(v in members)
+                     for v in batch.column(id_col).to_pylist()]
+            return batch.append_column(
+                flag_col, pa.array(flags, type=pa.int64()))
+
+        return ds.map_batches(flag_batch, batch_format="pyarrow")
+
+    # shuffle path: union main rows (+marker) with member-id rows, one
+    # groupby on the id-hash bucket, per-bucket local membership mark
+    import pandas as pd
+
+    def tag_main(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(
+            "_is_member_row",
+            pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        return b.append_column("_mf_bucket", _hash_bucket_array(
+            batch.column(id_col).to_pylist(), buckets))
+
+    schema = ds.schema()
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        ids = batch.column(member_col)
+        n = len(ids)
+        cols = []
+        for name, typ in zip(schema.names, schema.types):
+            cols.append(ids if name == id_col
+                        else pa.nulls(n, type=typ))
+        t = pa.table(dict(zip(schema.names, cols)))
+        t = t.append_column(
+            "_is_member_row", pa.array(np.ones(n, dtype=np.int8)))
+        return t.append_column("_mf_bucket", _hash_bucket_array(
+            ids.to_pylist(), buckets))
+
+    unioned = ds.map_batches(tag_main, batch_format="pyarrow") \
+        .union(ids_ds.map_batches(tag_members, batch_format="pyarrow"))
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        members = set(group.loc[group["_is_member_row"] == 1, id_col])
+        out = group[group["_is_member_row"] == 0] \
+            .drop(columns=["_is_member_row", "_mf_bucket"]).copy()
+        out[flag_col] = out[id_col].isin(members).astype("int64")
+        return out
+
+    return unioned.groupby("_mf_bucket").map_groups(
+        mark, batch_format="pandas")
 
 
 def _hash_bucket_array(values, buckets: int) -> pa.Array:

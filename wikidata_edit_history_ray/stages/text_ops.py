@@ -208,15 +208,25 @@ def _doc_ngrams(text: str, n: int = 3) -> set:
 
 
 def decontaminate_flags(ds, bench_ds, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3):
+                        id_col: str = "doc_id", n: int = 3,
+                        broadcast_limit: int = 2_000_000,
+                        buckets: int | None = None):
     """Benchmark decontamination: flag every doc sharing any word n-gram with
     the benchmark set -> Dataset of (id_col, 'contaminated' int64 0/1).
 
-    100-TB shape: eval benchmarks are small by nature, so the benchmark
-    n-gram set is built once and BROADCAST (object-store block refs fetched
-    once per worker — stages/distributed.broadcast_dataset), never a shuffle
-    join; the corpus side is one streaming map_batches membership probe."""
-    from .distributed import _get_broadcast_set, broadcast_dataset
+    100-TB shape, dual path like the dedup anti-joins:
+    - benchmark gram set <= broadcast_limit (the common case — eval
+      benchmarks are small): the set is built once and BROADCAST
+      (object-store block refs fetched once per worker), the corpus side is
+      one streaming map_batches membership probe — zero shuffle.
+    - beyond the limit (decontaminating against another CORPUS): corpus
+      doc-grams and benchmark grams co-partition on a gram-hash bucket, each
+      bucket emits its hit doc-ids locally, and the hit set flags the docs
+      through the same dual-path membership primitive
+      (stages/distributed.membership_flags) — nothing materializes
+      centrally."""
+    from .distributed import (_get_broadcast_set, _pin, broadcast_dataset,
+                              default_reduce_buckets, membership_flags)
 
     def bench_grams(batch: pa.Table) -> pa.Table:
         grams = set()
@@ -224,18 +234,66 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
             grams |= _doc_ngrams(t, n)
         return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
 
-    gram_refs = broadcast_dataset(
-        bench_ds.map_batches(bench_grams, batch_format="pyarrow"))
+    bench_mat = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow").materialize()
+    _pin(bench_mat)
 
-    def probe(batch: pa.Table) -> pa.Table:
-        bench = _get_broadcast_set(gram_refs, "gram")
-        flags = np.empty(batch.num_rows, dtype=np.int64)
-        for i, t in enumerate(batch.column(text_col).to_pylist()):
-            flags[i] = int(not _doc_ngrams(t, n).isdisjoint(bench))
-        return pa.table({id_col: batch.column(id_col),
-                         "contaminated": pa.array(flags, type=pa.int64())})
+    if bench_mat.count() <= broadcast_limit:
+        gram_refs = tuple(bench_mat.to_arrow_refs())
 
-    return ds.map_batches(probe, batch_format="pyarrow")
+        def probe(batch: pa.Table) -> pa.Table:
+            bench = _get_broadcast_set(gram_refs, "gram")
+            flags = np.empty(batch.num_rows, dtype=np.int64)
+            for i, t in enumerate(batch.column(text_col).to_pylist()):
+                flags[i] = int(not _doc_ngrams(t, n).isdisjoint(bench))
+            return pa.table({id_col: batch.column(id_col),
+                             "contaminated": pa.array(flags, type=pa.int64())})
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    # ---- shuffle path: co-partition grams by hash bucket ------------------
+    from .distributed import _hash_bucket_array
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+
+    def corpus_grams(batch: pa.Table) -> pa.Table:
+        gs, ids = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for g in _doc_ngrams(t, n):
+                gs.append(g)
+                ids.append(d)
+        t = pa.table({"gram": pa.array(gs, type=pa.string()),
+                      "doc": pa.array(ids, type=pa.int64()),
+                      "is_bench": pa.array(
+                          np.zeros(len(gs), dtype=np.int8))})
+        return t.append_column("bucket", _hash_bucket_array(gs, buckets))
+
+    def tag_bench(batch: pa.Table) -> pa.Table:
+        gs = batch.column("gram").to_pylist()
+        t = pa.table({"gram": batch.column("gram"),
+                      "doc": pa.array(np.full(len(gs), -1, dtype=np.int64)),
+                      "is_bench": pa.array(np.ones(len(gs), dtype=np.int8))})
+        return t.append_column("bucket", _hash_bucket_array(gs, buckets))
+
+    unioned = ds.map_batches(corpus_grams, batch_format="pyarrow") \
+        .union(bench_mat.map_batches(tag_bench, batch_format="pyarrow"))
+
+    def bucket_hits(group) -> pa.Table:
+        bench = set(group.loc[group["is_bench"] == 1, "gram"])
+        hits = group.loc[(group["is_bench"] == 0)
+                         & group["gram"].isin(bench), "doc"].unique()
+        import pandas as pd
+        return pd.DataFrame({id_col: hits.astype("int64")})
+
+    hit_ids = unioned.groupby("bucket").map_groups(
+        bucket_hits, batch_format="pandas")
+
+    return membership_flags(ds.select_columns([id_col]), hit_ids, id_col,
+                            flag_col="contaminated",
+                            broadcast_limit=broadcast_limit,
+                            buckets=buckets)
 
 
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
