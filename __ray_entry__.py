@@ -852,11 +852,6 @@ def _q_minhash_cluster(sf_dir: str):
     ds = _derived_dedup_docs(sf_dir, "near")
     edges = minhash_lsh_verified_edges(ds)
     nodes = ds.select_columns(["doc_id"])
-    if edges is None:
-        def own(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch.column("doc_id"),
-                             "cluster_id": batch.column("doc_id")})
-        return nodes.map_batches(own, batch_format="pyarrow")
     edges = edges.map_batches(
         lambda b: pa.table({"src": b.column("cand_a"),
                             "dst": b.column("cand_b")}),
@@ -935,10 +930,12 @@ def _q_pii_redact(sf_dir: str):
             pc.cast(pa.array(iv * 7919 + 1_000_000_000), pa.string()),
             " end", "")
         mask = pa.array(iv % 3 == 0)
+        # fill_null BEFORE the append — binary_join on a null text would
+        # drop the injected tail while the oracle's coalesce keeps it
+        base = pc.fill_null(batch.column("text"), "")
         text2 = pc.if_else(mask,
-                           pc.binary_join_element_wise(
-                               batch.column("text"), tail, ""),
-                           batch.column("text"))
+                           pc.binary_join_element_wise(base, tail, ""),
+                           base)
         return pa.table({"doc_id": ids, "text": text2})
 
     out = ds.map_batches(inject, batch_format="pyarrow") \

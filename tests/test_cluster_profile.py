@@ -399,6 +399,18 @@ class TestHashSplit:
                for r in hash_split(ds, bands=(("all", 100),)).take_all()}
         assert got == {"all"}
 
+    def test_invalid_bands_raise(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import hash_split
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1], type=pa.int64())}))
+        with pytest.raises(ValueError, match="cover buckets 0-99"):
+            hash_split(ds, bands=(("train", 50),))
+        with pytest.raises(ValueError, match="strictly increasing"):
+            hash_split(ds, bands=(("test", 100), ("val", 95)))
+
 
 class TestInterleavedSpanPack:
     def _docs(self, n_docs=25, seed=3):
@@ -455,11 +467,12 @@ class TestInterleavedSpanPack:
 
         from wikidata_edit_history_ray.stages import packing
 
-        # shrink the order-key width so 16 spans already collide — the raise
-        # itself happens inside the worker-side explode
+        # shrink the order-key width so 17 spans already collide (16 = 2^4
+        # still fits: max index 15) — the raise itself happens inside the
+        # worker-side explode
         monkeypatch.setattr(packing, "_SPAN_IDX_BITS", 4)
         many = [{"kind": "text", "text": "a", "media_ref": "", "offset": i}
-                for i in range(16)]
+                for i in range(17)]
         ds = ray.data.from_items([{"doc_id": "Q1", "spans": many}])
         with pytest.raises(Exception, match="span order key would collide"):
             packing.interleaved_span_pack(ds).take_all()
@@ -503,7 +516,7 @@ class TestMinhashVerifiedEdges:
         got = {(r["cand_a"], r["cand_b"]) for r in edges.take_all()}
         assert got == self._expected()
 
-    def test_no_dupes_returns_none(self, ray_session):
+    def test_no_dupes_returns_empty_typed_edges(self, ray_session):
         import ray.data
 
         from wikidata_edit_history_ray.stages.dedup_ops import \
@@ -514,4 +527,8 @@ class TestMinhashVerifiedEdges:
             "text": pa.array([" ".join(f"a{i}" for i in range(30)),
                               " ".join(f"b{i}" for i in range(30))],
                              type=pa.string())}))
-        assert minhash_lsh_verified_edges(ds) is None
+        edges = minhash_lsh_verified_edges(ds)
+        assert edges.count() == 0
+        schema = edges.schema()
+        assert schema.names == ["cand_a", "cand_b"]
+        assert all(t == pa.int64() for t in schema.types)

@@ -77,20 +77,29 @@ def connected_components(nodes, edges, node_col: str = "node",
     """
     import ray.data
 
-    # ---- symmetrize edges once (bucket-tagged after sizing) ---------------
-    def sym(batch: pa.Table) -> pa.Table:
+    # ---- slim + int64-normalize the edge pairs once ------------------------
+    def slim(batch: pa.Table) -> pa.Table:
         s = batch.column(src_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         d = batch.column(dst_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    edges_raw = edges.map_batches(slim, batch_format="pyarrow").materialize()
+    n_edges = edges_raw.count()
+
+    if 0 < n_edges <= small_edge_limit:
+        # un-symmetrized: the union-find needs each undirected edge once
+        return _cc_broadcast(nodes, edges_raw, node_col)
+
+    # ---- symmetrize for the iterative rounds -------------------------------
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
         return pa.table({"src": pa.array(np.concatenate([s, d])),
                          "dst": pa.array(np.concatenate([d, s]))})
 
-    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
-    n_edges = edges_sym.count()
-
-    if 0 < n_edges <= 2 * small_edge_limit:  # sym table = 2x input edges
-        return _cc_broadcast(nodes, edges_sym, node_col)
+    edges_sym = edges_raw.map_batches(sym, batch_format="pyarrow")
 
     if buckets is None:
         # sized by graph rows, not cluster: tiny graphs run in 4 tasks with
@@ -129,12 +138,13 @@ def connected_components(nodes, edges, node_col: str = "node",
         f"(results are never silently truncated)")
 
 
-def _cc_broadcast(nodes, edges_sym, node_col: str):
-    """Small-edge-set path: driver union-find over the slim pair table,
-    broadcast of the non-singleton node->root map, streaming assignment."""
+def _cc_broadcast(nodes, edges_raw, node_col: str):
+    """Small-edge-set path: driver union-find over the slim UN-symmetrized
+    pair table (each undirected edge once), broadcast of the non-singleton
+    node->root map, streaming assignment."""
     import ray
 
-    pairs = edges_sym.to_pandas()
+    pairs = edges_raw.to_pandas()
     src = pairs["src"].to_numpy(dtype=np.int64)
     dst = pairs["dst"].to_numpy(dtype=np.int64)
 
@@ -154,7 +164,7 @@ def _cc_broadcast(nodes, edges_sym, node_col: str):
             parent[max(ra, rb)] = min(ra, rb)
 
     remap_n, remap_r = [], []
-    for n in set(src.tolist()):  # sym table contains every endpoint as src
+    for n in set(src.tolist()) | set(dst.tolist()):
         r = find(n)
         if r != n:
             remap_n.append(n)

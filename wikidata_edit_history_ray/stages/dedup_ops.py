@@ -245,6 +245,9 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
        pair join (stages/distributed.gather_pair_values): no broadcast, no
        per-worker copy, memory per task = corpus/buckets.
 
+    No LSH candidates -> an EMPTY (cand_a, cand_b) dataset typed by the id
+    column, so consumers need no special case.
+
     Consumers: `minhash_lsh_dedup` (drops cand_b per edge) and
     `cluster.connected_components` (duplicate-cluster canonicalization).
     """
@@ -283,7 +286,15 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
 
     n_edges = edges.count()
     if n_edges == 0:
-        return None
+        # empty but correctly typed — consumers (anti-join, connected
+        # components) run unconditionally on it, no None special case
+        import ray.data
+
+        schema = ds.schema()
+        id_type = schema.types[schema.names.index(id_col)]
+        return ray.data.from_arrow(pa.table({
+            "cand_a": pa.array([], type=id_type),
+            "cand_b": pa.array([], type=id_type)}))
 
     if n_edges * 2 > candidate_broadcast_limit:
         # partitioned verify: resolve both endpoint texts per edge through
@@ -343,8 +354,6 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         jaccard_threshold=jaccard_threshold, shingle_size=shingle_size,
         max_compare=max_compare, concurrency=concurrency,
         candidate_broadcast_limit=candidate_broadcast_limit)
-    if verified is None:
-        return ds
 
     def losers(batch: pa.Table) -> pa.Table:
         return pa.table({"drop_id": batch.column("cand_b")})

@@ -162,8 +162,6 @@ def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
 
     # shuffle path: union main rows (+marker) with member-id rows, one
     # groupby on the id-hash bucket, per-bucket local membership mark
-    import pandas as pd
-
     def tag_main(batch: pa.Table) -> pa.Table:
         b = batch.append_column(
             "_is_member_row",
@@ -173,8 +171,12 @@ def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
 
     schema = ds.schema()
 
+    id_type = schema.types[schema.names.index(id_col)]
+
     def tag_members(batch: pa.Table) -> pa.Table:
-        ids = batch.column(member_col)
+        # cast to ds's id type: a member column of different integer width
+        # (int32 parquet vs int64 main) must not split the union schema
+        ids = batch.column(member_col).cast(id_type)
         n = len(ids)
         cols = []
         for name, typ in zip(schema.names, schema.types):
@@ -189,15 +191,22 @@ def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
     unioned = ds.map_batches(tag_main, batch_format="pyarrow") \
         .union(ids_ds.map_batches(tag_members, batch_format="pyarrow"))
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        members = set(group.loc[group["_is_member_row"] == 1, id_col])
-        out = group[group["_is_member_row"] == 0] \
-            .drop(columns=["_is_member_row", "_mf_bucket"]).copy()
-        out[flag_col] = out[id_col].isin(members).astype("int64")
-        return out
+    # arrow group format: pandas would coerce the null-padded id column of
+    # the member rows to float64 and silently retype the output ids
+    def mark(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_m = pc.equal(group.column("_is_member_row"), 1)
+        members = set(group.filter(is_m).column(id_col).to_pylist())
+        main = group.filter(pc.invert(is_m)) \
+            .drop_columns(["_is_member_row", "_mf_bucket"])
+        flags = pa.array([int(v in members)
+                          for v in main.column(id_col).to_pylist()],
+                         type=pa.int64())
+        return main.append_column(flag_col, flags)
 
     return unioned.groupby("_mf_bucket").map_groups(
-        mark, batch_format="pandas")
+        mark, batch_format="pyarrow")
 
 
 def _hash_bucket_array(values, buckets: int) -> pa.Array:

@@ -112,7 +112,7 @@ def interleaved_span_pack(docs_ds, max_tokens: int = 2048,
         for qid, spans in zip(batch.column(doc_col).to_pylist(),
                               batch.column(spans_col).to_pylist()):
             qnum = int(qid[1:])
-            if len(spans) >= limit:
+            if len(spans) > limit:  # max index limit-1 still fits the field
                 raise ValueError(
                     f"doc {qid} has {len(spans)} spans >= 2^{_SPAN_IDX_BITS}"
                     f" — span order key would collide; raise _SPAN_IDX_BITS")

@@ -31,7 +31,11 @@ def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column(col))
+        # nulls are ignored (quantiles of the present values — the SQL
+        # COUNT(*) GROUP BY v convention would rank a NULL group; dropping
+        # is the profile-friendly semantic and keeps the finish arithmetic
+        # integer-clean)
+        vc = pc.value_counts(pc.drop_null(batch.column(col)))
         return pa.table({
             "v": pc.cast(vc.field("values"), pa.int64()),
             "cnt": pc.cast(vc.field("counts"), pa.int64())})
@@ -76,7 +80,9 @@ def grouped_quantiles(ds, col: str, group_col: str,
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null values ignored, same semantic as column_quantiles
         g = batch.select([group_col, col]) \
+            .filter(pc.is_valid(batch.column(col))) \
             .group_by([group_col, col]).aggregate([([], "count_all")])
         return pa.table({
             "g": g.column(group_col),

@@ -49,7 +49,19 @@ def hash_split(ds, id_col: str = "doc_id",
     (name, upper_bound_exclusive-ish: bucket < bound). Adds a `split`
     column. Pure function of the id — reruns, resumes and any cluster
     shape produce the identical split; zero shuffle (one streaming
-    map_batches). Oracle: the same md5-substring arithmetic in SQL."""
+    map_batches). Oracle: the same md5-substring arithmetic in SQL.
+
+    `bands` must have strictly increasing bounds ending >= 100 (every
+    bucket 0-99 must land somewhere) — validated loudly up front, because
+    an uncovered or out-of-order band table would otherwise surface as an
+    opaque Arrow length error or a silently wrong split."""
+    bounds = [b for _, b in bands]
+    if bounds != sorted(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"hash_split bands must have strictly increasing "
+                         f"bounds, got {bounds}")
+    if bounds[-1] < 100:
+        raise ValueError(f"hash_split bands must cover buckets 0-99: last "
+                         f"bound {bounds[-1]} < 100")
 
     def assign(batch: pa.Table) -> pa.Table:
         buckets = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)

@@ -225,7 +225,7 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
       through the same dual-path membership primitive
       (stages/distributed.membership_flags) — nothing materializes
       centrally."""
-    from .distributed import (_get_broadcast_set, _pin, broadcast_dataset,
+    from .distributed import (_get_broadcast_set, _pin,
                               default_reduce_buckets, membership_flags)
 
     def bench_grams(batch: pa.Table) -> pa.Table:
@@ -257,6 +257,8 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
     if buckets is None:
         buckets = default_reduce_buckets()
 
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
+
     def corpus_grams(batch: pa.Table) -> pa.Table:
         gs, ids = [], []
         for d, t in zip(batch.column(id_col).to_pylist(),
@@ -265,7 +267,7 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
                 gs.append(g)
                 ids.append(d)
         t = pa.table({"gram": pa.array(gs, type=pa.string()),
-                      "doc": pa.array(ids, type=pa.int64()),
+                      "doc": pa.array(ids, type=id_type),
                       "is_bench": pa.array(
                           np.zeros(len(gs), dtype=np.int8))})
         return t.append_column("bucket", _hash_bucket_array(gs, buckets))
@@ -273,22 +275,26 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
     def tag_bench(batch: pa.Table) -> pa.Table:
         gs = batch.column("gram").to_pylist()
         t = pa.table({"gram": batch.column("gram"),
-                      "doc": pa.array(np.full(len(gs), -1, dtype=np.int64)),
+                      "doc": pa.nulls(len(gs), type=id_type),
                       "is_bench": pa.array(np.ones(len(gs), dtype=np.int8))})
         return t.append_column("bucket", _hash_bucket_array(gs, buckets))
 
     unioned = ds.map_batches(corpus_grams, batch_format="pyarrow") \
         .union(bench_mat.map_batches(tag_bench, batch_format="pyarrow"))
 
-    def bucket_hits(group) -> pa.Table:
-        bench = set(group.loc[group["is_bench"] == 1, "gram"])
-        hits = group.loc[(group["is_bench"] == 0)
-                         & group["gram"].isin(bench), "doc"].unique()
-        import pandas as pd
-        return pd.DataFrame({id_col: hits.astype("int64")})
+    # arrow group format: pandas would coerce the null-padded doc column of
+    # the bench rows to float64 and retype the hit ids
+    def bucket_hits(group: pa.Table) -> pa.Table:
+        is_b = pc.equal(group.column("is_bench"), 1)
+        bench = set(group.filter(is_b).column("gram").to_pylist())
+        corpus = group.filter(pc.invert(is_b))
+        mask = pa.array([g in bench
+                         for g in corpus.column("gram").to_pylist()])
+        hits = corpus.filter(mask).column("doc").unique()
+        return pa.table({id_col: hits})
 
     hit_ids = unioned.groupby("bucket").map_groups(
-        bucket_hits, batch_format="pandas")
+        bucket_hits, batch_format="pyarrow")
 
     return membership_flags(ds.select_columns([id_col]), hit_ids, id_col,
                             flag_col="contaminated",
