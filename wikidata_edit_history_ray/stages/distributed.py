@@ -224,9 +224,23 @@ def _hash_bucket_array(values, buckets: int) -> pa.Array:
     if np.issubdtype(arr.dtype, np.integer):
         out = arr.astype(np.int64) % buckets
     else:
-        h = hash_pandas_object(pd.Series(values, dtype=object).astype(str),
-                               index=False).to_numpy()
-        out = (h % np.uint64(buckets)).astype(np.int64)
+        # bucket routing must depend only on the VALUE, never on which batch
+        # it arrived in: a nullable-int column yields object arrays for
+        # null-containing batches and int arrays for null-free ones, and the
+        # two sides of a shuffle join see different batch compositions — so
+        # ints always take the modulo path (nulls to a fixed bucket), only
+        # genuinely non-int keys take the string hash
+        first = next((v for v in values if v is not None), None)
+        if isinstance(first, (int, np.integer)) \
+                and not isinstance(first, bool):
+            out = np.fromiter(
+                (0 if v is None else int(v) % buckets for v in values),
+                dtype=np.int64, count=len(values))
+        else:
+            h = hash_pandas_object(
+                pd.Series(values, dtype=object).astype(str),
+                index=False).to_numpy()
+            out = (h % np.uint64(buckets)).astype(np.int64)
     return pa.array(out, type=pa.int64())
 
 
@@ -279,15 +293,23 @@ def _anti_join_shuffle(ds, drop_ds, id_col: str, drop_col: str, buckets: int):
     drop_tagged = drop_ds.map_batches(tag_drop, batch_format="pyarrow")
     unioned = main.union(drop_tagged)
 
-    def bucket_filter(group):
-        dropped = set(group.loc[group["_is_drop"], id_col])
-        keep = group[~group["_is_drop"]]
+    # arrow group format: a bucket whose rows include a null id would have
+    # pandas coerce the int id column to float64 and retype output blocks
+    def bucket_filter(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_drop = group.column("_is_drop")
+        dropped = set(group.filter(is_drop).column(id_col).to_pylist())
+        keep = group.filter(pc.invert(is_drop))
         if dropped:
-            keep = keep[~keep[id_col].isin(dropped)]
-        return keep.drop(columns=["_is_drop", "_aj_bucket"])
+            mask = pa.array([v not in dropped
+                             for v in keep.column(id_col).to_pylist()],
+                            type=pa.bool_())
+            keep = keep.filter(mask)
+        return keep.drop_columns(["_is_drop", "_aj_bucket"])
 
     return unioned.groupby("_aj_bucket").map_groups(
-        bucket_filter, batch_format="pandas")
+        bucket_filter, batch_format="pyarrow")
 
 
 def gather_pair_values(ds, edges, id_col: str, val_col: str,
@@ -352,21 +374,26 @@ def gather_pair_values(ds, edges, id_col: str, val_col: str,
     unioned = ds.map_batches(tag_values, batch_format="pyarrow").union(
         edges.map_batches(tag_edges, batch_format="pyarrow"))
 
-    # pandas coerces the null-padded _pa/_pb int columns to float64; restore
-    # the id dtype after filtering so pair ids round-trip exactly
-    pair_cast = {"_pa": "int64", "_pb": "int64"} \
-        if pa.types.is_integer(id_type) else None
+    # arrow group format: pandas would coerce the null-padded _pa/_pb int
+    # columns to float64, corrupting ids above 2^53 and widening narrower
+    # int types; Arrow filtering keeps the declared id_type exactly
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def resolve_bucket(group):
-        vals = group[group["_side"] == 0]
-        lookup = dict(zip(vals["_key"], vals["_val"]))
-        probes = group[group["_side"] != 0].copy()
-        probes["_val"] = probes["_key"].map(lookup)
-        probes = probes.drop(columns=["_key", "_gb"])
-        return probes.astype(pair_cast) if pair_cast else probes
+        is_val = pc.equal(group.column("_side"), 0)
+        vals = group.filter(is_val)
+        lookup = dict(zip(vals.column("_key").to_pylist(),
+                          vals.column("_val").to_pylist()))
+        probes = group.filter(pc.invert(is_val))
+        resolved_vals = pa.array(
+            [lookup.get(k) for k in probes.column("_key").to_pylist()],
+            type=val_type)
+        probes = probes.set_column(
+            probes.schema.get_field_index("_val"), "_val", resolved_vals)
+        return probes.drop_columns(["_key", "_gb"])
 
     resolved = unioned.groupby("_gb").map_groups(
-        resolve_bucket, batch_format="pandas")
+        resolve_bucket, batch_format="pyarrow")
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         keys = [f"{a}|{b}" for a, b in zip(batch.column("_pa").to_pylist(),

@@ -329,6 +329,13 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
     else:
         ds = labels
     os.makedirs(out_dir, exist_ok=True)
+    # only non-empty buckets get written below, so a rerun with a different
+    # dimension must not leave a previous run's files behind for
+    # _load_label_bucket to silently serve
+    for f in os.listdir(out_dir):
+        if f.startswith("labels-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
+    _LABEL_BUCKET_CACHE.clear()
 
     def tag(batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()

@@ -354,9 +354,14 @@ def list_partition_specs(input_path: str,
     import pyarrow.parquet as pq
 
     fs, root = resolve_filesystem(input_path)
-    # keep the scheme prefix so spec['file'] round-trips through resolve
+    # keep the scheme prefix so spec['file'] round-trips through resolve;
+    # from_uri normalizes (e.g. drops a trailing slash), so locate root
+    # inside the original URI instead of suffix-matching it
     p = str(input_path)
-    prefix = p[:-len(root)] if "://" in p and p.endswith(root) else ""
+    prefix = ""
+    if "://" in p:
+        i = p.find(root)
+        prefix = p[:i] if i > 0 else p.split("://", 1)[0] + "://"
     info = fs.get_file_info(root)
     if info.type == pafs.FileType.Directory:
         sel = pafs.FileSelector(root)

@@ -99,18 +99,25 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         .map_batches(tag_right, batch_format="pyarrow"))
 
     filled = [oc for _, oc, _ in out_cols]
-    # right rows null-pad the left-only columns, so pandas coerces left int
-    # columns to float64 — restore them once the right rows are filtered out
-    int_restore = {n: "int64" for n, t in zip(l_schema.names, l_schema.types)
-                   if pa.types.is_integer(t)}
+    # one FIXED output schema for every bucket: right rows null-pad the
+    # left-only columns so pandas coerces them (ints to float64 with NaN),
+    # and per-group dtype inference would let each bucket emit different
+    # column types — instead every bucket casts back to the declared schema
+    # (convert_dtypes first so NaN misses become real Arrow nulls, which
+    # cast into nullable int/float columns; a bare float->int cast of NaN
+    # would throw)
+    out_schema = pa.schema(list(zip(l_schema.names, l_schema.types))
+                           + [(oc, t) for _, oc, t in out_cols])
 
     def join_bucket(group):
         # right rows (side 0) sort before left rows at equal (key, ts), so a
         # per-key forward fill realizes "greatest right.ts <= left.ts"
         g = group.sort_values([key_col, ts_col, "_side"], kind="mergesort")
-        g[filled] = g.groupby(key_col, sort=False)[filled].ffill() \
-            .convert_dtypes()  # nullable dtypes: misses become Arrow nulls
+        g[filled] = g.groupby(key_col, sort=False)[filled].ffill()
         g = g[g["_side"] == 1].drop(columns=["_side", "_jb"])
-        return g.astype(int_restore) if int_restore else g
+        t = pa.Table.from_pandas(g.convert_dtypes(), preserve_index=False)
+        cols = [t.column(name).cast(typ)
+                for name, typ in zip(out_schema.names, out_schema.types)]
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     return unioned.groupby("_jb").map_groups(join_bucket, batch_format="pandas")

@@ -52,12 +52,19 @@ def pack_sequences(ds, token_col: str, max_tokens: int,
             order_col: pa.array([], type=pa.int64()),
             token_col: pa.array([], type=pa.int64()),
             "pack_id": pa.array([], type=pa.int64())}))
-    span = max(1, int(hi) - int(lo) + 1)
+    # float cutpoint math: int64 `(keys - lo) * num_ranges` overflows for
+    # key spans wider than 2^63/num_ranges (64-bit snowflake-style ids) and
+    # wraps NEGATIVE, destroying range monotonicity. Double conversion and
+    # multiply-by-positive-constant are weakly monotone, which is all range
+    # partitioning needs (ties collapsing into one range only affects
+    # balance, never the per-range prefix sums).
+    span = max(1.0, float(int(hi) - int(lo)) + 1.0)
+    scale = num_ranges / span
 
     def tag_range(batch: pa.Table) -> pa.Table:
         keys = batch.column(order_col).combine_chunks().to_numpy()
-        rng = ((keys.astype(np.int64) - int(lo)) * num_ranges // span) \
-            .clip(0, num_ranges - 1)
+        rel = keys.astype(np.float64) - float(int(lo))
+        rng = (rel * scale).astype(np.int64).clip(0, num_ranges - 1)
         return batch.append_column("_range", pa.array(rng, type=pa.int64()))
 
     tagged = slim.map_batches(tag_range, batch_format="pyarrow")

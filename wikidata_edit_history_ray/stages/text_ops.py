@@ -288,8 +288,12 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
         is_b = pc.equal(group.column("is_bench"), 1)
         bench = set(group.filter(is_b).column("gram").to_pylist())
         corpus = group.filter(pc.invert(is_b))
+        # type the mask explicitly: an all-bench bucket yields an empty
+        # Python list, and an untyped pa.array([]) is null-typed, which
+        # Table.filter rejects
         mask = pa.array([g in bench
-                         for g in corpus.column("gram").to_pylist()])
+                         for g in corpus.column("gram").to_pylist()],
+                        type=pa.bool_())
         hits = corpus.filter(mask).column("doc").unique()
         return pa.table({id_col: hits})
 
@@ -322,6 +326,8 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from .distributed import _get_broadcast_dict, broadcast_dataset
 
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
     n_docs = float(ds.count())
 
     def partial_df(batch: pa.Table) -> pa.Table:
@@ -356,7 +362,7 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_tok.append(tok)
                 out_score.append(s)
         return pa.table({
-            id_col: pa.array(out_id, type=pa.int64()),
+            id_col: pa.array(out_id, type=id_type),
             "token": pa.array(out_tok, type=pa.string()),
             "score": pa.array(out_score, type=pa.float64())})
 

@@ -33,12 +33,27 @@ def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
                                       buckets))
 
     def window_bucket(group):
+        import pandas.api.types as pdt
+
         g = group.sort_values([key_col, ts_col], kind="mergesort")
         n = len(g)
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ser = g[ts_col]
+        if pdt.is_datetime64_any_dtype(ser):
+            ts = ser.to_numpy().astype("datetime64[us]").astype(np.int64)
+        elif pdt.is_numeric_dtype(ser):
+            # numeric timestamps are epoch SECONDS — the same unit as
+            # window_seconds; blind datetime64[us] reinterpretation would
+            # make the window 1e6x too wide
+            ts = np.round(
+                ser.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+        else:
+            raise TypeError(
+                f"sliding_window_sum: ts column {ts_col!r} must be a "
+                f"timestamp or numeric epoch-seconds column, got "
+                f"{ser.dtype}")
         vals = g[value_col].to_numpy(dtype=np.float64)
         keys = g[key_col].to_numpy()
-        win = np.int64(window_seconds * 1_000_000)
+        win = np.int64(round(window_seconds * 1_000_000))
         # segment trick: shift each key's timestamps into its own disjoint
         # band, then ONE global searchsorted answers every per-key window —
         # no per-key Python loop
