@@ -90,6 +90,19 @@ def _get_broadcast_set(refs, col: str) -> set:
     return hit
 
 
+def _get_broadcast_value_array(refs, col: str):
+    """Broadcast column as one combined Arrow array (None when empty) —
+    the value_set operand for vectorized pc.is_in membership probes, built
+    once per worker process."""
+    key = (tuple(r.hex() for r in refs), col, "arr")
+    hit = _BCAST_CACHE.get(key)
+    if hit is None and key not in _BCAST_CACHE:
+        t = _get_broadcast_table(refs)
+        hit = t.column(col).combine_chunks() if t is not None else None
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
 def _get_broadcast_dict(refs, key_col: str, val_col: str) -> dict:
     """Fetch a broadcast two-column table as a lookup dict, built once per
     worker process (the dict build is O(rows) Python — not per batch)."""
@@ -123,12 +136,15 @@ def filter_out_ids(ds, drop_ds, id_col: str, drop_col: str = "drop_id",
         refs = tuple(drop_small.to_arrow_refs())
 
         def filter_batch(batch: pa.Table) -> pa.Table:
-            drops = _get_broadcast_set(refs, drop_col)
-            if not drops:
+            import pyarrow.compute as pc
+
+            drops = _get_broadcast_value_array(refs, drop_col)
+            if drops is None or len(drops) == 0:
                 return batch
-            mask = pa.array([v not in drops
-                             for v in batch.column(id_col).to_pylist()])
-            return batch.filter(mask)
+            # vectorized membership: is_in maps null inputs to false, the
+            # same "null ids are never droppable" the set probe had
+            return batch.filter(pc.invert(
+                pc.is_in(batch.column(id_col), value_set=drops)))
 
         return ds.map_batches(filter_batch, batch_format="pyarrow")
     return _anti_join_shuffle(ds, drop_small, id_col, drop_col, buckets)
@@ -152,11 +168,17 @@ def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
         refs = tuple(small.to_arrow_refs())
 
         def flag_batch(batch: pa.Table) -> pa.Table:
-            members = _get_broadcast_set(refs, member_col)
-            flags = [int(v in members)
-                     for v in batch.column(id_col).to_pylist()]
-            return batch.append_column(
-                flag_col, pa.array(flags, type=pa.int64()))
+            import pyarrow.compute as pc
+
+            members = _get_broadcast_value_array(refs, member_col)
+            if members is None or len(members) == 0:
+                flags = pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64))
+            else:
+                flags = pc.cast(
+                    pc.is_in(batch.column(id_col), value_set=members),
+                    pa.int64())
+            return batch.append_column(flag_col, flags)
 
         return ds.map_batches(flag_batch, batch_format="pyarrow")
 
@@ -197,12 +219,15 @@ def membership_flags(ds, ids_ds, id_col: str, flag_col: str = "flag",
         import pyarrow.compute as pc
 
         is_m = pc.equal(group.column("_is_member_row"), 1)
-        members = set(group.filter(is_m).column(id_col).to_pylist())
+        members = pc.drop_null(
+            group.filter(is_m).column(id_col)).combine_chunks()
         main = group.filter(pc.invert(is_m)) \
             .drop_columns(["_is_member_row", "_mf_bucket"])
-        flags = pa.array([int(v in members)
-                          for v in main.column(id_col).to_pylist()],
-                         type=pa.int64())
+        if len(members) == 0:
+            flags = pa.array(np.zeros(main.num_rows, dtype=np.int64))
+        else:
+            flags = pc.cast(
+                pc.is_in(main.column(id_col), value_set=members), pa.int64())
         return main.append_column(flag_col, flags)
 
     return unioned.groupby("_mf_bucket").map_groups(
@@ -299,13 +324,12 @@ def _anti_join_shuffle(ds, drop_ds, id_col: str, drop_col: str, buckets: int):
         import pyarrow.compute as pc
 
         is_drop = group.column("_is_drop")
-        dropped = set(group.filter(is_drop).column(id_col).to_pylist())
+        dropped = pc.drop_null(
+            group.filter(is_drop).column(id_col)).combine_chunks()
         keep = group.filter(pc.invert(is_drop))
-        if dropped:
-            mask = pa.array([v not in dropped
-                             for v in keep.column(id_col).to_pylist()],
-                            type=pa.bool_())
-            keep = keep.filter(mask)
+        if len(dropped) > 0:
+            keep = keep.filter(pc.invert(
+                pc.is_in(keep.column(id_col), value_set=dropped)))
         return keep.drop_columns(["_is_drop", "_aj_bucket"])
 
     return unioned.groupby("_aj_bucket").map_groups(
@@ -437,9 +461,13 @@ def fetch_rows_by_ids(ds, id_ds, id_col: str, columns=None,
     refs = broadcast_id_set(id_ds, id_col)
 
     def filt(batch: pa.Table) -> pa.Table:
-        ids = _get_broadcast_set(refs, id_col)
-        mask = pa.array([v in ids for v in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+        import pyarrow.compute as pc
+
+        ids = _get_broadcast_value_array(refs, id_col)
+        if ids is None or len(ids) == 0:
+            return batch.slice(0, 0)
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=ids))
 
     out = ds.map_batches(filt, batch_format="pyarrow")
     if columns:

@@ -286,15 +286,15 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
     # the bench rows to float64 and retype the hit ids
     def bucket_hits(group: pa.Table) -> pa.Table:
         is_b = pc.equal(group.column("is_bench"), 1)
-        bench = set(group.filter(is_b).column("gram").to_pylist())
+        bench = group.filter(is_b).column("gram").combine_chunks()
         corpus = group.filter(pc.invert(is_b))
-        # type the mask explicitly: an all-bench bucket yields an empty
-        # Python list, and an untyped pa.array([]) is null-typed, which
-        # Table.filter rejects
-        mask = pa.array([g in bench
-                         for g in corpus.column("gram").to_pylist()],
-                        type=pa.bool_())
-        hits = corpus.filter(mask).column("doc").unique()
+        # an all-bench or all-corpus bucket must emit a TYPED empty table,
+        # not a null-typed one
+        if len(bench) == 0 or corpus.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=id_type)})
+        hits = corpus.filter(
+            pc.is_in(corpus.column("gram"), value_set=bench)) \
+            .column("doc").unique()
         return pa.table({id_col: hits})
 
     hit_ids = unioned.groupby("bucket").map_groups(
