@@ -497,7 +497,8 @@ def _q_text_analysis(sf_dir: str):
 
     from wikidata_edit_history_ray.stages.text_ops import analyze_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
     out = analyze_text(ds).select_columns(
         ["doc_id", "detected_lang", "ws_token_count", "bpe_token_count",
          "quality_score", "fingerprint"])

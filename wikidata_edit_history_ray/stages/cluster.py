@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .distributed import _hash_bucket_array, default_reduce_buckets
+from .distributed import _hash_bucket_array
 
 # one reduce bucket per this many (node|edge) rows, so tiny graphs run in a
 # handful of tasks and huge ones spread across the cluster

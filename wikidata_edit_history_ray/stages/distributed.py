@@ -253,10 +253,13 @@ def _hash_bucket_array(values, buckets: int) -> pa.Array:
         # it arrived in: a nullable-int column yields object arrays for
         # null-containing batches and int arrays for null-free ones, and the
         # two sides of a shuffle join see different batch compositions — so
-        # ints always take the modulo path (nulls to a fixed bucket), only
-        # genuinely non-int keys take the string hash
+        # ints always take the modulo path, only genuinely non-int keys take
+        # the string hash, and a None routes to bucket 0 on BOTH paths (an
+        # all-null batch must not fall through to hashing the string 'None')
         first = next((v for v in values if v is not None), None)
-        if isinstance(first, (int, np.integer)) \
+        if first is None:
+            out = np.zeros(len(values), dtype=np.int64)
+        elif isinstance(first, (int, np.integer)) \
                 and not isinstance(first, bool):
             out = np.fromiter(
                 (0 if v is None else int(v) % buckets for v in values),
@@ -266,6 +269,10 @@ def _hash_bucket_array(values, buckets: int) -> pa.Array:
                 pd.Series(values, dtype=object).astype(str),
                 index=False).to_numpy()
             out = (h % np.uint64(buckets)).astype(np.int64)
+            nulls = np.fromiter((v is None for v in values),
+                                dtype=bool, count=len(values))
+            if nulls.any():
+                out[nulls] = 0
     return pa.array(out, type=pa.int64())
 
 

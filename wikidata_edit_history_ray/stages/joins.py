@@ -12,6 +12,7 @@ Distributed shape — the classic union trick, ONE shuffle:
 """
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -72,7 +73,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         arrays = [batch.column(name).cast(typ) if name in left_names
                   else pa.nulls(n, typ)
                   for name, typ in union_fields[:-1]]
-        arrays.append(pa.array([1] * n, type=pa.int8()))
+        arrays.append(pa.array(np.ones(n, dtype=np.int8), type=pa.int8()))
         t = pa.Table.from_arrays(arrays, schema=union_schema)
         return t.append_column(
             "_jb", _hash_bucket_array(batch.column(key_col).to_pylist(),
@@ -88,7 +89,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
                 src = next((c for c, oc, _ in out_cols if oc == name), None)
                 arrays.append(batch.column(src).cast(typ) if src
                               else pa.nulls(n, typ))
-        arrays.append(pa.array([0] * n, type=pa.int8()))
+        arrays.append(pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()))
         t = pa.Table.from_arrays(arrays, schema=union_schema)
         return t.append_column(
             "_jb", _hash_bucket_array(batch.column(key_col).to_pylist(),

@@ -22,13 +22,26 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                     max_distinct: int = 4_000_000):
     """Dataset -> Dataset of (q float64, value int64), one row per quantile.
 
-    `col` must be integer-valued. The only full pass is the per-block
-    partial count; everything after operates on the distinct-value
-    histogram."""
+    `col` must be integer-valued — validated loudly up front (a float column
+    would only fail later inside the partial pass's int64 cast, and the
+    value-histogram approach is only exact/bounded for integer domains).
+    The histogram is materialized in the object store and its cardinality
+    checked against `max_distinct` BEFORE the driver pulls it: quantiles
+    over an id-like unique column surface as a clear error, not a driver
+    OOM. The only full pass is the per-block partial count."""
     import ray.data
+
+    schema = ds.schema()
+    col_type = schema.types[schema.names.index(col)]
+    if not pa.types.is_integer(col_type):
+        raise TypeError(
+            f"column_quantiles needs an integer column; {col!r} is "
+            f"{col_type} — the exact value-histogram reduction is only "
+            f"bounded for integer domains (bucket or cast floats first)")
 
     def partial(batch: pa.Table) -> pa.Table:
         # nulls are ignored (quantiles of the present values — the SQL
@@ -41,8 +54,15 @@ def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
             "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
     hist = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("v").sum("cnt")
-    # distinct-value histogram: small by construction — driver-side finish
+        .groupby("v").sum("cnt").materialize()
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"column_quantiles({col!r}): {n_distinct} distinct values exceed "
+            f"max_distinct={max_distinct} — the distinct-value histogram "
+            f"would not fit the driver (is this an id-like column?); bucket "
+            f"the values first or raise max_distinct explicitly")
+    # distinct-value histogram: small (guarded) — driver-side finish
     rows = hist.take_all()
     if not rows:
         return ray.data.from_arrow(pa.table({
@@ -78,6 +98,14 @@ def grouped_quantiles(ds, col: str, group_col: str,
     import math
 
     import pandas as pd
+
+    schema = ds.schema()
+    col_type = schema.types[schema.names.index(col)]
+    if not pa.types.is_integer(col_type):
+        raise TypeError(
+            f"grouped_quantiles needs an integer column; {col!r} is "
+            f"{col_type} — the exact value-histogram reduction is only "
+            f"bounded for integer domains (bucket or cast floats first)")
 
     def partial(batch: pa.Table) -> pa.Table:
         # null values ignored, same semantic as column_quantiles
