@@ -229,7 +229,11 @@ class TestPartitionSpecsUriPrefix:
 
 
 class TestLabelBucketRerun:
-    def test_stale_buckets_removed(self, ray_session, tmp_path):
+    def test_reruns_are_layout_versioned(self, ray_session, tmp_path):
+        """Each partition_entity_labels run returns a run-unique directory,
+        so a relayout can never be served from a worker's cache of the
+        previous run (the cache key embeds the run directory) and a stale
+        bucket file can never shadow an empty bucket."""
         from wikidata_edit_history_ray.stages.enrich import (
             _load_label_bucket, _qid_bucket, partition_entity_labels)
 
@@ -241,16 +245,30 @@ class TestLabelBucketRerun:
             if _qid_bucket(f"Q{i}", buckets) != _qid_bucket(qa, buckets):
                 qb = f"Q{i}"
                 break
-        partition_entity_labels({qa: ("A", "da")}, out, buckets=buckets)
+        run1 = partition_entity_labels({qa: ("A", "da")}, out, buckets=buckets)
+        assert run1 != out  # versioned subdirectory, not the base dir
         assert os.path.exists(os.path.join(
-            out, f"labels-{_qid_bucket(qa, buckets):05d}.parquet"))
-        # rerun with a dimension that leaves qa's bucket empty
-        partition_entity_labels({qb: ("B", "db")}, out, buckets=buckets)
-        assert not os.path.exists(os.path.join(
-            out, f"labels-{_qid_bucket(qa, buckets):05d}.parquet"))
-        assert _load_label_bucket(out, _qid_bucket(qa, buckets)) == {}
+            run1, f"labels-{_qid_bucket(qa, buckets):05d}.parquet"))
+        # warm this process's cache on run1, then relayout
+        assert _load_label_bucket(run1, _qid_bucket(qa, buckets)) \
+            [qa] == ("A", "da")
+        run2 = partition_entity_labels({qb: ("B", "db")}, out, buckets=buckets)
+        assert run2 != run1
+        # the new run serves ONLY the new dimension even though run1's
+        # buckets are still cached in this very process
+        assert _load_label_bucket(run2, _qid_bucket(qa, buckets)) == {}
         assert _load_label_bucket(
-            out, _qid_bucket(qb, buckets))[qb] == ("B", "db")
+            run2, _qid_bucket(qb, buckets))[qb] == ("B", "db")
+
+    def test_partitioned_layout_through_file_uri(self, ray_session, tmp_path):
+        from wikidata_edit_history_ray.stages.enrich import (
+            _load_label_bucket, _qid_bucket, partition_entity_labels)
+
+        uri = f"file://{tmp_path}/labels_uri"
+        run = partition_entity_labels({"Q5": ("five", "d5")}, uri, buckets=4)
+        assert run.startswith("file://")
+        assert _load_label_bucket(run, _qid_bucket("Q5", 4)) \
+            ["Q5"] == ("five", "d5")
 
 
 class TestGatherPairValuesBigIds:

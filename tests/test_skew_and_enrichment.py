@@ -165,7 +165,9 @@ class TestPartitionedLabelJoin:
         # 13th so the miss path is exercised too)
         labels = {f"Q{i}": (f"label {i}", f"desc {i}")
                   for i in range(1, 100000) if i % 13}
-        ldir = partition_entity_labels(labels, str(tmp_path / "labels"),
+        # through a file:// URI: the layout, the run-token subdir and every
+        # worker-side bucket load must round-trip pyarrow FileSystem URIs
+        ldir = partition_entity_labels(labels, f"file://{tmp_path}/labels",
                                        buckets=8)
 
         key = ["revision_id", "property_id", "value_id"]

@@ -305,16 +305,29 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
 
     `labels`: a Ray Dataset or Arrow table with columns
     (qid, label, description), or a {qid: (label, description)} dict (small
-    dimensions / tests). One file per non-empty bucket under out_dir,
-    deterministically sorted by qid. Workers write directly to `out_dir`,
-    which must be on a filesystem every node can reach (same contract as the
-    multi-sink)."""
-    import os
+    dimensions / tests). `out_dir` is a bare path or any pyarrow FileSystem
+    URI (file://, s3://) every node can reach — same contract as the
+    multi-sink (stages/extract.resolve_filesystem).
+
+    Each run writes into a UNIQUE run-token subdirectory of `out_dir` and
+    RETURNS that subdirectory — callers must use the return value as their
+    labels_dir. This versions the layout: long-lived workers cache buckets
+    keyed on (labels_dir, bucket), so re-laying the dimension into the same
+    directory in a live cluster would let workers that already cached a
+    bucket keep serving the previous run's labels (deleting files only helps
+    workers that have not cached yet). A fresh directory per run makes every
+    cache key run-unique. Old run directories are left in place — a running
+    pipeline may still read them; prune retired runs externally. A run that
+    dies mid-write leaves a token directory that is never returned, hence
+    never read."""
+    import uuid
 
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data
+
+    from .extract import resolve_filesystem
 
     if isinstance(labels, dict):
         ds = ray.data.from_arrow(pa.table({
@@ -328,14 +341,11 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
         ds = ray.data.from_arrow(labels)
     else:
         ds = labels
-    os.makedirs(out_dir, exist_ok=True)
-    # only non-empty buckets get written below, so a rerun with a different
-    # dimension must not leave a previous run's files behind for
-    # _load_label_bucket to silently serve
-    for f in os.listdir(out_dir):
-        if f.startswith("labels-") and f.endswith(".parquet"):
-            os.remove(os.path.join(out_dir, f))
-    _LABEL_BUCKET_CACHE.clear()
+    run_rel = f"run-{uuid.uuid4().hex[:12]}"
+    fs, base = resolve_filesystem(out_dir)
+    run_path = f"{base.rstrip('/')}/{run_rel}"
+    fs.create_dir(run_path, recursive=True)
+    run_uri = f"{out_dir.rstrip('/')}/{run_rel}"
 
     def tag(batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()
@@ -352,6 +362,7 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
     def write_bucket(group):
         import pandas as pd
 
+        wfs, wbase = resolve_filesystem(run_uri)  # workers re-resolve the URI
         b = int(group["_b"].iloc[0])
         g = group.sort_values("qid", kind="mergesort")
         t = pa.table({
@@ -359,33 +370,35 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
             "label": pa.array(g["label"], type=pa.string()),
             "description": pa.array(g["description"], type=pa.string()),
         })
-        path = os.path.join(out_dir, f"labels-{b:05d}.parquet")
-        tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        pq.write_table(t, f"{wbase.rstrip('/')}/labels-{b:05d}.parquet",
+                       filesystem=wfs)
         return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
 
     # materialize the tiny per-bucket manifest — this is what runs the writes
     ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_b").map_groups(write_bucket, batch_format="pandas") \
         .materialize()
-    return out_dir
+    return run_uri
 
 
 def _load_label_bucket(labels_dir: str, bucket: int) -> dict:
-    """{qid: (label, description)} for one bucket; cached per worker."""
-    import os
-
+    """{qid: (label, description)} for one bucket; cached per worker. The
+    cache key (labels_dir, bucket) is collision-free because
+    partition_entity_labels returns a run-unique directory. `labels_dir`
+    may be a bare path or any pyarrow FileSystem URI."""
     import pyarrow.parquet as pq
+
+    from .extract import _fs_exists, resolve_filesystem
 
     key = (labels_dir, bucket)
     hit = _LABEL_BUCKET_CACHE.get(key)
     if hit is None:
         if len(_LABEL_BUCKET_CACHE) > 64:
             _LABEL_BUCKET_CACHE.clear()
-        path = os.path.join(labels_dir, f"labels-{bucket:05d}.parquet")
-        if os.path.exists(path):
-            t = pq.read_table(path)
+        fs, base = resolve_filesystem(labels_dir)
+        path = f"{base.rstrip('/')}/labels-{bucket:05d}.parquet"
+        if _fs_exists(fs, path):
+            t = pq.read_table(path, filesystem=fs)
             hit = {q: (l, d) for q, l, d in zip(
                 t.column("qid").to_pylist(), t.column("label").to_pylist(),
                 t.column("description").to_pylist())}
