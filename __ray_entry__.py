@@ -1005,6 +1005,51 @@ def _q_hash_split(sf_dir: str):
     return hash_split(ds)
 
 
+def _q_llm_corpus_prep(sf_dir: str):
+    """FLAGSHIP composition (pipelines/corpus_prep.llm_corpus_prep): exact
+    dedup -> near-dup cluster canonicalization (LSH + exact-Jaccard verify +
+    connected components) -> benchmark decontamination -> quality gate ->
+    deterministic hash split -> sequence packing, as one streaming chain.
+
+    Exact clones (d+10M for d%10==0) are injected so the dedup stage has
+    guaranteed work; the near-dup stage operates on the corpus's NATURAL
+    near-duplicates (every natural pair sits at J>=0.97 or J<0.75 — a wide
+    margin around the 0.8 threshold, so the verified LSH edge set equals
+    the exact >=0.8 pair set the SQL oracle computes via a gram self-join
+    + recursive min-label reachability). Corpus has no token-empty docs
+    (min 10 tokens), so the ngram_jaccard(empty,empty)=1 corner is
+    unreachable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from wikidata_edit_history_ray.pipelines.corpus_prep import \
+        llm_corpus_prep
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        is_clone_src = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        src = batch.filter(is_clone_src)
+        clones = pa.table({
+            "doc_id": pc.add(src.column("doc_id"), 10_000_000),
+            "text": src.column("text")})
+        return pa.concat_tables([batch, clones])
+
+    def bench_slice(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.subtract(
+            batch.column("doc_id"),
+            pc.multiply(pc.divide(batch.column("doc_id"), 29), 29)), 1)
+        return batch.filter(keep)
+
+    bench = ds.map_batches(bench_slice, batch_format="pyarrow")
+    return llm_corpus_prep(ds.map_batches(inject, batch_format="pyarrow"),
+                           bench)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1070,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "length_quantiles_by_lang": _q_length_quantiles_by_lang,
         "kg_interleaved_pack": _q_kg_interleaved_pack,
+        # --- flagship composition (round 4) ---
+        "llm_corpus_prep": _q_llm_corpus_prep,
     }
 
 
@@ -1607,6 +1654,137 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                               1, 8)) AS BIGINT) % 100 AS b
                   FROM documents)
+        """,
+        # the flagship chain restated stage by stage: exact dedup
+        # (ROW_NUMBER over text), near-dup canonicalization via EXACT
+        # all-pairs >=0.8 Jaccard (gram self-join; the engine's
+        # LSH-verified edge set equals it — miss probability (1-J^2)^32,
+        # ~1e-42 at the corpus's natural J>=0.97 pairs) + recursive
+        # min-label reachability keeping min-id representatives, gram
+        # decontamination against the doc_id%29=1 slice, ws>=20 &
+        # bigram-rep<=0.1 quality gate, md5 train band, running-sum pack
+        # window. Token regexes differ BY DESIGN: minhash shingles use \w+
+        # ([a-z0-9_]+ on this ASCII corpus), decontamination/repetition use
+        # [a-z0-9]+, exactly as the component operators define them.
+        "llm_corpus_prep": """
+            WITH RECURSIVE
+            injected AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, coalesce(text, '') AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            d1 AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM injected) WHERE rn = 1
+            ),
+            mtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM d1
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM mtoks, unnest(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(t, ' ') AS g
+                FROM mtoks WHERE len(t) > 0 AND len(t) < 3
+              )
+            ),
+            sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
+              FROM shingles a JOIN shingles b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT da, db FROM cand
+              JOIN sizes sa ON sa.doc_id = cand.da
+              JOIN sizes sb ON sb.doc_id = cand.db
+              WHERE ix::DOUBLE / (sa.sz + sb.sz - ix) >= 0.8
+            ),
+            sym AS (
+              SELECT da AS s, db AS d FROM edges
+              UNION SELECT db, da FROM edges
+            ),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM d1
+              UNION
+              SELECT s.s, r.lbl FROM sym s JOIN reach r ON s.d = r.node
+            ),
+            clusters AS (
+              SELECT node, MIN(lbl) AS cid FROM reach GROUP BY node
+            ),
+            d2 AS (
+              SELECT d1.doc_id, d1.text
+              FROM d1 JOIN clusters ON clusters.node = d1.doc_id
+              WHERE clusters.cid = d1.doc_id
+            ),
+            bgrams AS (
+              SELECT DISTINCT g FROM (
+                SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                       t[i+6] || ' ' || t[i+7] AS g
+                FROM (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                                '[a-z0-9]+') AS t
+                      FROM documents WHERE doc_id % 29 = 1) bt,
+                     unnest(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8)
+            ),
+            dtoks AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM d2
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                       t[i+6] || ' ' || t[i+7] AS g
+                FROM dtoks, unnest(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8)
+              WHERE g IN (SELECT g FROM bgrams)
+            ),
+            d3 AS (
+              SELECT doc_id, text, t FROM dtoks
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+              FROM d3, unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            repa AS (
+              SELECT doc_id, COUNT(*) AS tot, COUNT(DISTINCT g) AS dst
+              FROM bg GROUP BY doc_id
+            ),
+            d4 AS (
+              SELECT d3.doc_id,
+                     length(regexp_extract_all(d3.text, '\\S+'))::BIGINT
+                       AS ws
+              FROM d3 LEFT JOIN repa USING (doc_id)
+              WHERE length(regexp_extract_all(d3.text, '\\S+')) >= 20
+                AND COALESCE(1.0 - repa.dst / repa.tot::DOUBLE, 0.0) <= 0.1
+            ),
+            d5 AS (
+              SELECT doc_id, ws FROM d4
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) % 100 < 90
+            )
+            SELECT doc_id, ws AS ws_token_count,
+                   CAST(FLOOR((SUM(ws) OVER (ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                               - ws) / 512.0) AS BIGINT) AS pack_id
+            FROM d5
         """,
         # direct window over the corpus parquet itself (non-circular): the
         # engine's distributed prefix sum must equal the global running-sum

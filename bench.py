@@ -32,6 +32,7 @@ HEADLINE_QUERIES = [
     "kg_graph_triples",
     "dedup_exact_docs",
     "minhash_dedup_docs",
+    "llm_corpus_prep",
     "text_analysis",
     "knn_topk",
     "events_type_stats",
@@ -347,6 +348,138 @@ def run_scaling_isolation(sf_dir: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# --dedup-scale: the dedup family end-to-end at corpus scale (verdict r3 #6).
+#
+# Deterministic large documents table derived from the tier's base texts:
+# per 20 docs one EXACT-dup pair and one NEAR-dup pair (one appended token,
+# J ~ 0.98); every doc carries 15 unique suffix tokens so the ~512 copies of
+# each base text sit at J ~ 0.59 and the tier's natural J=0.99 pairs dilute
+# to ~0.71 — both below the 0.8 threshold. Expected survivor counts are
+# therefore ANALYTIC (N - N/20 exact; N - N/10 canonical) and the run
+# self-checks them. The minhash verify is FORCED onto the hash-partitioned
+# pair join (gather_pair_values) — the 100-TB path — and llm_corpus_prep's
+# benchmark slice (doc_id%29==1, ~N/29 docs -> >2M grams) forces the
+# decontamination shuffle path with 128-bit gram keys.
+# ---------------------------------------------------------------------------
+
+DEDUP_SCALE_DOCS = int(os.environ.get("GRAFT_DEDUP_SCALE_DOCS", "2560000"))
+
+
+def _gen_dedup_corpus(path: str, n_docs: int, sf_dir: str) -> str:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_DONE")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    texts_ref = ray.put([t or "" for t in base.column("text").to_pylist()])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        base_texts = ray.get(texts_ref)
+        m = len(base_texts)
+        ids = batch.column("id").to_pylist()
+        out = []
+        for i in ids:
+            if i % 20 == 1:      # exact clone of doc i-1
+                out.append(base_texts[(i - 1) % m]
+                           + " " + _suffix_tokens(i - 1))
+            elif i % 20 == 11:   # near clone of doc i-1 (one appended token)
+                out.append(base_texts[(i - 1) % m]
+                           + " " + _suffix_tokens(i - 1) + " nearx")
+            else:
+                out.append(base_texts[i % m] + " " + _suffix_tokens(i))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(out, type=pa.string())})
+
+    nb = max(64, n_docs // 20000)
+    ray.data.range(n_docs, override_num_blocks=nb) \
+        .map_batches(gen, batch_format="pyarrow").write_parquet(path)
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write(str(n_docs))
+    return path
+
+
+def _suffix_tokens(i: int) -> str:
+    return " ".join(f"u{i}w{k}" for k in range(15))
+
+
+def run_dedup_scale(sf_dir: str, num_cpus: int,
+                    n_docs: int = DEDUP_SCALE_DOCS) -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wikidata_edit_history_ray.pipelines.corpus_prep import \
+        llm_corpus_prep
+    from wikidata_edit_history_ray.stages.dedup_ops import (
+        exact_dedup, near_dup_canonical_filter)
+
+    os.makedirs("/tmp/widiff_cache", exist_ok=True)
+    path = _gen_dedup_corpus(f"/tmp/widiff_cache/dedup_scale_{n_docs}",
+                             n_docs, sf_dir)
+
+    def read():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    timings, counts = {}, {}
+
+    t0 = time.time()
+    counts["exact_survivors"] = exact_dedup(read()).count()
+    timings["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # candidate_broadcast_limit=0 forces the hash-partitioned pair join
+    # (gather_pair_values) — the shape that holds when candidates don't fit
+    # a worker heap
+    counts["canonical_survivors"] = near_dup_canonical_filter(
+        read(), num_perm=64, bands=32, jaccard_threshold=0.8, max_compare=8,
+        candidate_broadcast_limit=0).count()
+    timings["near_dup_canonical"] = round(time.time() - t0, 3)
+
+    import pyarrow.compute as pc
+
+    def bench_slice(batch):
+        ids = batch.column("doc_id")
+        keep = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 29), 29)), 1)
+        return batch.filter(keep)
+
+    t0 = time.time()
+    packed = llm_corpus_prep(
+        read(), read().map_batches(bench_slice, batch_format="pyarrow"))
+    counts["llm_corpus_prep_rows"] = packed.count()
+    timings["llm_corpus_prep"] = round(time.time() - t0, 3)
+
+    expect_exact = n_docs - n_docs // 20
+    expect_canon = n_docs - 2 * (n_docs // 20)
+    out = {
+        "metric": "dedup family at corpus scale",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "counts": counts,
+        "expected": {"exact_survivors": expect_exact,
+                     "canonical_survivors": expect_canon},
+        "analytic_match": {
+            "exact": counts["exact_survivors"] == expect_exact,
+            "canonical": counts["canonical_survivors"] == expect_canon},
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+        "docs_per_sec": {
+            k: round(n_docs / v, 1) for k, v in timings.items()},
+    }
+    return out
+
+
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--scaling-child":
@@ -357,6 +490,13 @@ def main():
         return
     if args and args[0] == "--scaling-isolation":
         print(json.dumps(run_scaling_isolation(SF_DIR)))
+        return
+    if args and args[0] == "--dedup-scale":
+        n = int(args[1]) if len(args) > 1 else DEDUP_SCALE_DOCS
+        print(json.dumps(run_dedup_scale(SF_DIR, NUM_CPUS, n)))
+        import ray
+
+        ray.shutdown()
         return
     out = run_bench(SF_DIR, NUM_CPUS)
     print(json.dumps(out))

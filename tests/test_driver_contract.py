@@ -28,6 +28,7 @@ SUBSET = [
     "events_type_stats",
     "text_analysis",
     "pack_sequences",
+    "llm_corpus_prep",
 ]
 
 

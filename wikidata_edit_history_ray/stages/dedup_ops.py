@@ -362,6 +362,48 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return filter_out_ids(ds, drop_ds, id_col)
 
 
+def near_dup_canonical_filter(ds, text_col: str = "text",
+                              id_col: str = "doc_id", **lsh_kwargs):
+    """Near-duplicate CLUSTER canonicalization as a row filter: keep exactly
+    one representative (the min id) per connected component of the verified
+    LSH edge set, drop every other cluster member, pass singletons through.
+
+    This is the composition the training-data pipeline chains
+    (pipelines/corpus_prep.llm_corpus_prep): `minhash_lsh_verified_edges`
+    (slim sketch shuffle + exact n-gram Jaccard verify) -> connected
+    components over the EDGE-TOUCHED nodes only (edge-set-sized, never
+    corpus-sized — untouched docs are singletons by construction and never
+    enter the CC exchange) -> distributed anti-join of the non-representative
+    members. Unlike `minhash_lsh_dedup` (drop the later endpoint of every
+    edge), the CC pass keeps exactly one doc per TRANSITIVE cluster — an
+    A-B-C chain keeps only A even when (A, C) was never proposed as a pair.
+    """
+    from .cluster import connected_components
+    from .distributed import filter_out_ids
+
+    edges = minhash_lsh_verified_edges(
+        ds, text_col=text_col, id_col=id_col, **lsh_kwargs).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays(
+            [batch.column("cand_a").combine_chunks(),
+             batch.column("cand_b").combine_chunks()])
+        return pa.table({"node": vals})
+
+    # distinct endpoints via a groupby (edge-sized, stays off the driver)
+    nodes = edges.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("node").count().select_columns(["node"])
+    cc = connected_components(nodes, edges, node_col="node",
+                              src_col="cand_a", dst_col="cand_b")
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("node"), batch.column("cluster_id"))
+        return pa.table({"drop_id": batch.filter(keep).column("node")})
+
+    drop = cc.map_batches(losers, batch_format="pyarrow")
+    return filter_out_ids(ds, drop, id_col)
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

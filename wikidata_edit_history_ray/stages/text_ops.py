@@ -258,6 +258,23 @@ def _doc_ngrams(text: str, n: int = 3) -> set:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _bench_gram_table(bench_ds, text_col: str, n: int):
+    """Materialized + pinned single-column ('gram') table of the benchmark
+    side's distinct word n-grams."""
+    from .distributed import _pin
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams = set()
+        for t in batch.column(text_col).to_pylist():
+            grams |= _doc_ngrams(t, n)
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    bench_mat = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow").materialize()
+    _pin(bench_mat)
+    return bench_mat
+
+
 def decontaminate_flags(ds, bench_ds, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         broadcast_limit: int = 2_000_000,
@@ -271,10 +288,10 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
       (object-store block refs fetched once per worker), the corpus side is
       one streaming map_batches membership probe — zero shuffle.
     - beyond the limit (decontaminating against another CORPUS): corpus
-      doc-grams and benchmark grams co-partition on a gram-hash bucket, each
-      bucket emits its hit doc-ids locally, and the hit set flags the docs
-      through the same dual-path membership primitive
-      (stages/distributed.membership_flags) — nothing materializes
+      doc-grams and benchmark grams co-partition on a gram-hash bucket
+      (`_contamination_hit_ids`), each bucket emits its hit doc-ids locally,
+      and the hit set flags the docs through the same dual-path membership
+      primitive (stages/distributed.membership_flags) — nothing materializes
       centrally. The shuffle ships 128-BIT GRAM HASHES (fixed_size_binary(16)
       from two independent 64-bit siphash passes, vectorized), never the gram
       strings themselves: ~16 bytes fixed per gram vs 16-30+ variable for
@@ -282,18 +299,10 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
       Matching two DIFFERENT grams requires a 128-bit collision
       (P ~ G^2/2^129 — at a trillion distinct grams, ~1e-15), documented in
       lieu of a string re-verify."""
-    from .distributed import (_get_broadcast_set, _pin,
-                              default_reduce_buckets, membership_flags)
+    from .distributed import (_get_broadcast_set, default_reduce_buckets,
+                              membership_flags)
 
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        grams = set()
-        for t in batch.column(text_col).to_pylist():
-            grams |= _doc_ngrams(t, n)
-        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
-
-    bench_mat = bench_ds.map_batches(
-        bench_grams, batch_format="pyarrow").materialize()
-    _pin(bench_mat)
+    bench_mat = _bench_gram_table(bench_ds, text_col, n)
 
     if bench_mat.count() <= broadcast_limit:
         gram_refs = tuple(bench_mat.to_arrow_refs())
@@ -308,10 +317,57 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
 
         return ds.map_batches(probe, batch_format="pyarrow")
 
-    # ---- shuffle path: co-partition 128-bit gram hashes by bucket ---------
     if buckets is None:
         buckets = default_reduce_buckets()
+    hit_ids = _contamination_hit_ids(ds, bench_mat, text_col, id_col, n,
+                                     buckets)
+    return membership_flags(ds.select_columns([id_col]), hit_ids, id_col,
+                            flag_col="contaminated",
+                            broadcast_limit=broadcast_limit,
+                            buckets=buckets)
 
+
+def decontaminate_filter(ds, bench_ds, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         broadcast_limit: int = 2_000_000,
+                         buckets: int | None = None):
+    """Row-keeping sibling of `decontaminate_flags`: DROP every doc sharing
+    any word n-gram with the benchmark set, returning the surviving rows with
+    all their columns — the shape a composed training-data pipeline chains
+    (llm_corpus_prep). Same dual path: broadcast gram set -> one streaming
+    filter pass (zero shuffle); beyond `broadcast_limit` the bucketed
+    gram-hash hit pass feeds the distributed anti-join
+    (stages/distributed.filter_out_ids)."""
+    from .distributed import (_get_broadcast_set, default_reduce_buckets,
+                              filter_out_ids)
+
+    bench_mat = _bench_gram_table(bench_ds, text_col, n)
+
+    if bench_mat.count() <= broadcast_limit:
+        gram_refs = tuple(bench_mat.to_arrow_refs())
+
+        def probe_filter(batch: pa.Table) -> pa.Table:
+            bench = _get_broadcast_set(gram_refs, "gram")
+            keep = [i for i, t in enumerate(
+                batch.column(text_col).to_pylist())
+                if _doc_ngrams(t, n).isdisjoint(bench)]
+            return batch.take(pa.array(keep, type=pa.int64()))
+
+        return ds.map_batches(probe_filter, batch_format="pyarrow")
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+    hit_ids = _contamination_hit_ids(ds, bench_mat, text_col, id_col, n,
+                                     buckets)
+    return filter_out_ids(ds, hit_ids, id_col, drop_col=id_col,
+                          broadcast_limit=broadcast_limit, buckets=buckets)
+
+
+def _contamination_hit_ids(ds, bench_mat, text_col: str, id_col: str, n: int,
+                           buckets: int):
+    """Shuffle path shared by flags/filter: corpus doc-grams and benchmark
+    grams co-partition on a 128-bit gram-hash bucket; each bucket emits its
+    hit doc-ids locally -> Dataset of (id_col) hit ids."""
     id_type = ds.schema().types[ds.schema().names.index(id_col)]
 
     def corpus_grams(batch: pa.Table) -> pa.Table:
@@ -354,13 +410,8 @@ def decontaminate_flags(ds, bench_ds, text_col: str = "text",
             .column("doc").unique()
         return pa.table({id_col: hits})
 
-    hit_ids = unioned.groupby("bucket").map_groups(
+    return unioned.groupby("bucket").map_groups(
         bucket_hits, batch_format="pyarrow")
-
-    return membership_flags(ds.select_columns([id_col]), hit_ids, id_col,
-                            flag_col="contaminated",
-                            broadcast_limit=broadcast_limit,
-                            buckets=buckets)
 
 
 # rides the (token, df) partials as a pseudo-token; [a-z0-9]+ tokens can
