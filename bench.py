@@ -447,15 +447,24 @@ def run_dedup_scale(sf_dir: str, num_cpus: int,
 
     import pyarrow.compute as pc
 
+    # benchmark slice: doc_id % 1160 == 1. The modulus must keep BASE-TEXT
+    # coverage partial: every bench doc contaminates all ~N/m copies of its
+    # base text (they share the pure-base 8-grams), so a slice of more than
+    # lcm(mod, m)/mod docs covers every base and decontamination degenerates
+    # to dropping the whole corpus (measured: mod 29 at 256k docs -> 0
+    # survivors). mod 1160 covers <~20% of bases at 2.56M docs. The shuffle
+    # path is forced EXPLICITLY via decontam_broadcast_limit=0 rather than
+    # by inflating the benchmark.
     def bench_slice(batch):
         ids = batch.column("doc_id")
         keep = pc.equal(pc.subtract(
-            ids, pc.multiply(pc.divide(ids, 29), 29)), 1)
+            ids, pc.multiply(pc.divide(ids, 1160), 1160)), 1)
         return batch.filter(keep)
 
     t0 = time.time()
     packed = llm_corpus_prep(
-        read(), read().map_batches(bench_slice, batch_format="pyarrow"))
+        read(), read().map_batches(bench_slice, batch_format="pyarrow"),
+        decontam_broadcast_limit=0)
     counts["llm_corpus_prep_rows"] = packed.count()
     timings["llm_corpus_prep"] = round(time.time() - t0, 3)
 
@@ -471,7 +480,8 @@ def run_dedup_scale(sf_dir: str, num_cpus: int,
                      "canonical_survivors": expect_canon},
         "analytic_match": {
             "exact": counts["exact_survivors"] == expect_exact,
-            "canonical": counts["canonical_survivors"] == expect_canon},
+            "canonical": counts["canonical_survivors"] == expect_canon,
+            "llm_rows_positive": counts["llm_corpus_prep_rows"] > 0},
         "n_docs": n_docs,
         "num_cpus": num_cpus,
         "docs_per_sec": {

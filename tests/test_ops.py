@@ -394,6 +394,24 @@ class TestPackSequences:
                       "tok": pa.array([], type=pa.int64())})
         assert pack_sequences(ray.data.from_arrow(t), "tok", 100).count() == 0
 
+    def test_schemaless_empty_input(self, ray_session):
+        """A filter chain that drops EVERY row yields blocks whose schema()
+        is None (not just zero rows) — pack_sequences must return its typed
+        empty output, not crash on schema.types (regression: the composed
+        flagship at a fully-decontaminated corpus)."""
+        import pyarrow as pa
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import pack_sequences
+
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "tok": pa.array([5, 5], type=pa.int64())})
+        empty = ray.data.from_arrow(t).map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow")
+        out = pack_sequences(empty, "tok", 100)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"doc_id", "tok", "pack_id"}
+
 
 class TestStratifiedSample:
     def test_matches_window_oracle_and_reruns_identical(self, ray_session, docs_ds):

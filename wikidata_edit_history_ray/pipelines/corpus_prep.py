@@ -71,6 +71,7 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
                     jaccard_threshold: float = 0.8,
                     lsh_num_perm: int = 64, lsh_bands: int = 32,
                     max_compare: int = 8, decontam_n: int = 8,
+                    decontam_broadcast_limit: int = 2_000_000,
                     min_tokens: int = 20, max_rep_ratio: float = 0.1,
                     pack_tokens: int = 512, keep_split: str = "train",
                     split_bands=(("train", 90), ("val", 95), ("test", 100))):
@@ -102,7 +103,8 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     # at n=3 on this corpus vs exactly the bench docs + their near-dups at
     # n=8 — while an 8-gram hit is a real leak
     d3 = decontaminate_filter(d2, bench_docs, text_col=text_col,
-                              id_col=id_col, n=decontam_n)
+                              id_col=id_col, n=decontam_n,
+                              broadcast_limit=decontam_broadcast_limit)
     d4 = quality_gate(d3, text_col=text_col, min_tokens=min_tokens,
                       max_rep_ratio=max_rep_ratio)
     d5 = hash_split(d4, id_col=id_col, bands=split_bands)

@@ -262,26 +262,61 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
 
     def bucket_edges(group):
         """Per coarse partition: emit (cand_a=earlier peer, cand_b=member)
-        edges per LSH bucket, capped at max_compare peers per member."""
+        edges per LSH bucket, capped at max_compare peers per member.
+
+        Vectorized via the sorted-shift trick: after one (bucket, id) sort,
+        'j pairs with its k-th predecessor inside the same bucket' is
+        exactly 'bucket[j-k] == bucket[j]' (buckets are contiguous when
+        sorted), so the candidate set is max_compare boolean shift-compares
+        — no per-LSH-bucket Python loop. The previous per-bucket pandas
+        iteration was the measured bottleneck at scale: ~1 sub-group per
+        1-2 rows across millions of band rows (~50us each) dominated the
+        whole dedup pass."""
         import pandas as pd
 
-        a_out, b_out = [], []
         g = group.sort_values(["bucket", id_col])
-        for _, bucket in g.groupby("bucket", sort=False):
-            if len(bucket) < 2:
-                continue
-            ids = bucket[id_col].to_numpy()
-            for j in range(1, len(ids)):
-                for i in range(max(0, j - max_compare), j):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        return pd.DataFrame({"cand_a": a_out, "cand_b": b_out}).astype(
+        b = g["bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        a_parts, b_parts = [], []
+        for k in range(1, max_compare + 1):
+            if k >= len(ids):
+                break
+            same = b[k:] == b[:-k]
+            a_parts.append(ids[:-k][same])
+            b_parts.append(ids[k:][same])
+        a_all = np.concatenate(a_parts) if a_parts else np.array([])
+        b_all = np.concatenate(b_parts) if b_parts else np.array([])
+        return pd.DataFrame({"cand_a": a_all, "cand_b": b_all}).astype(
             {"cand_a": group[id_col].dtype, "cand_b": group[id_col].dtype})
 
-    edges = sig_ds.map_batches(
+    raw_edges = sig_ds.map_batches(
             lambda b: _coarse_from_bucket(b, n_coarse),
             batch_format="pyarrow") \
-        .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas") \
+        .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas")
+
+    # Distinct pairs BEFORE verify: the same (a, b) pair collides in many
+    # bands (a true near-dup at J~threshold^{1/rows} hits nearly all of
+    # them), and each band emits its own edge row — without this pass the
+    # exact-Jaccard verify re-tokenizes both texts once PER COLLIDING BAND
+    # (measured ~11x redundant verify work on the corpus-scale bench).
+    # Shape: local per-block distinct, then one slim (a, b) shuffle bucketed
+    # on cand_a (all copies of a pair share cand_a, so they co-locate), then
+    # per-group distinct. Edge rows are two ids — the cheapest possible
+    # exchange — and the verify stage downstream does the expensive work
+    # exactly once per unique candidate pair.
+    from .distributed import _hash_bucket_array
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["cand_a", "cand_b"]).aggregate([])
+        return t.append_column(
+            "_pb", _hash_bucket_array(t.column("cand_a").to_pylist(),
+                                      n_coarse))
+
+    def group_distinct(group: pa.Table) -> pa.Table:
+        return group.group_by(["cand_a", "cand_b"]).aggregate([])
+
+    edges = raw_edges.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(group_distinct, batch_format="pyarrow") \
         .materialize()
 
     n_edges = edges.count()
@@ -303,10 +338,24 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
                                    edges, id_col, text_col)
 
         def verify_pair(batch: pa.Table) -> pa.Table:
+            # gram sets memoized per endpoint id: one doc typically verifies
+            # against several peers, and tokenization dominates the kernel
+            memo: dict = {}
+
+            def grams_of(key, text):
+                g = memo.get(key)
+                if g is None:
+                    g = memo[key] = _gram_set(text, shingle_size)
+                return g
+
             keep = []
-            for i, (ta, tb) in enumerate(zip(batch.column("val_a").to_pylist(),
-                                             batch.column("val_b").to_pylist())):
-                if ngram_jaccard(ta, tb, n=shingle_size) >= jaccard_threshold:
+            for i, (a, b, ta, tb) in enumerate(zip(
+                    batch.column("cand_a").to_pylist(),
+                    batch.column("cand_b").to_pylist(),
+                    batch.column("val_a").to_pylist(),
+                    batch.column("val_b").to_pylist())):
+                if _set_jaccard(grams_of(a, ta),
+                                grams_of(b, tb)) >= jaccard_threshold:
                     keep.append(i)
             return batch.select(["cand_a", "cand_b"]).take(
                 pa.array(keep, type=pa.int64()))
@@ -325,11 +374,18 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
         t = _get_broadcast_table(text_refs)
         texts = dict(zip(t.column(id_col).to_pylist(),
                          t.column(text_col).to_pylist()))
+        memo: dict = {}
+
+        def grams_of(key):
+            g = memo.get(key)
+            if g is None:
+                g = memo[key] = _gram_set(texts.get(key), shingle_size)
+            return g
+
         keep = []
         for i, (a, b) in enumerate(zip(batch.column("cand_a").to_pylist(),
                                        batch.column("cand_b").to_pylist())):
-            if ngram_jaccard(texts.get(a), texts.get(b),
-                             n=shingle_size) >= jaccard_threshold:
+            if _set_jaccard(grams_of(a), grams_of(b)) >= jaccard_threshold:
                 keep.append(i)
         return batch.select(["cand_a", "cand_b"]).take(
             pa.array(keep, type=pa.int64()))
@@ -458,6 +514,18 @@ def simhash64_batch(texts) -> np.ndarray:
         axis=1, dtype=np.uint64)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR) — uint64 in, int64 out."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        x *= np.uint64(0x0101010101010101)
+    return (x >> np.uint64(56)).astype(np.int64)
+
+
 def simhash64(text: str) -> int:
     """Classic 64-bit simhash over word tokens (scalar wrapper)."""
     return int(simhash64_batch([text])[0])
@@ -524,22 +592,26 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                    pa.array(keys % n_coarse, type=pa.int64()))
 
     def bucket_losers(group):
+        """Sorted-shift vectorization (see minhash bucket_edges): member j
+        is a drop when ANY of its max_compare same-bucket predecessors sits
+        within the Hamming budget — max_compare shift-compares with a SWAR
+        popcount, no per-block-bucket Python loop."""
         import pandas as pd
 
-        drops = []
         g = group.sort_values(["bucket", id_col])
-        for _, bucket in g.groupby("bucket", sort=False):
-            if len(bucket) < 2:
-                continue
-            hashes = bucket["simhash"].to_numpy().astype(np.uint64)
-            ids = bucket[id_col].to_numpy()
-            for j in range(1, len(ids)):
-                lo = max(0, j - max_compare)
-                x = hashes[lo:j] ^ hashes[j]
-                dist = np.array([bin(int(v)).count("1") for v in x])
-                if (dist <= max_hamming).any():
-                    drops.append(ids[j])
-        return pd.DataFrame({"drop_id": drops}).astype(
+        b = g["bucket"].to_numpy()
+        hashes = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        hit = np.zeros(n, dtype=bool)
+        for k in range(1, max_compare + 1):
+            if k >= n:
+                break
+            same = b[k:] == b[:-k]
+            dist = _popcount64(hashes[k:] ^ hashes[:-k])
+            hit[k:] |= same & (dist <= max_hamming)
+        # a drop can appear under several block keys: dedupe locally
+        return pd.DataFrame({"drop_id": pd.unique(ids[hit])}).astype(
             {"drop_id": group[id_col].dtype})
 
     drop_ds = slim.map_batches(coarse, batch_format="pyarrow") \
@@ -551,18 +623,23 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # exact n-gram Jaccard (pair verification)
 # --------------------------------------------------------------------------
 
-def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
-    def grams(t):
-        toks = _TOKEN_RE.findall((t or "").lower())
-        if len(toks) < n:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+def _gram_set(t: str, n: int) -> frozenset:
+    toks = _TOKEN_RE.findall((t or "").lower())
+    if len(toks) < n:
+        return frozenset({" ".join(toks)}) if toks else frozenset()
+    return frozenset(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
 
-    a, b = grams(text_a), grams(text_b)
+
+def _set_jaccard(a: frozenset, b: frozenset) -> float:
     if not a and not b:
         return 1.0
-    u = a | b
-    return len(a & b) / len(u) if u else 0.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    return _set_jaccard(_gram_set(text_a, n), _gram_set(text_b, n))
 
 
 # --------------------------------------------------------------------------
@@ -620,24 +697,31 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                                    pa.array(keys % n_coarse, type=pa.int64()))
 
     def bucket_losers(group):
+        """Sorted-shift vectorization (see minhash bucket_edges): row-wise
+        normalize once, then each of the max_compare predecessor comparisons
+        is ONE einsum over aligned slices gated by a same-bucket mask — no
+        per-LSH-bucket Python loop or per-bucket stack."""
         import pandas as pd
 
-        drops = []
         g = group.sort_values(["lsh_bucket", id_col])
-        for _, bucket in g.groupby("lsh_bucket", sort=False):
-            if len(bucket) < 2:
-                continue
-            vecs = np.stack(bucket[vec_col].to_numpy()).astype(np.float32)
-            norms = np.linalg.norm(vecs, axis=1)
-            norms[norms == 0] = 1.0
-            vecs = vecs / norms[:, None]
-            ids = bucket[id_col].to_numpy()
-            for j in range(1, len(ids)):
-                lo = max(0, j - max_compare)
-                sims = vecs[lo:j] @ vecs[j]
-                if (sims >= cosine_threshold).any():
-                    drops.append(ids[j])
-        return pd.DataFrame({"drop_id": drops}).astype(
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"drop_id": pd.Series(
+                [], dtype=group[id_col].dtype)})
+        b = g["lsh_bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms[:, None]
+        hit = np.zeros(n, dtype=bool)
+        for k in range(1, max_compare + 1):
+            if k >= n:
+                break
+            same = b[k:] == b[:-k]
+            sims = np.einsum("ij,ij->i", vecs[k:], vecs[:-k])
+            hit[k:] |= same & (sims >= cosine_threshold)
+        return pd.DataFrame({"drop_id": pd.unique(ids[hit])}).astype(
             {"drop_id": group[id_col].dtype})
 
     drop_ds = bds.map_batches(coarse, batch_format="pyarrow") \

@@ -39,6 +39,13 @@ def pack_sequences(ds, token_col: str, max_tokens: int,
 
     slim = ds.select_columns([order_col, token_col])
     schema = slim.schema()
+    if schema is None:
+        # fully-empty upstream (e.g. a filter chain that dropped every row)
+        # yields blocks with no schema at all — same contract as lo is None
+        return ray.data.from_arrow(pa.table({
+            order_col: pa.array([], type=pa.int64()),
+            token_col: pa.array([], type=pa.int64()),
+            "pack_id": pa.array([], type=pa.int64())}))
     o_type = schema.types[schema.names.index(order_col)]
     if not (pa.types.is_integer(o_type) or pa.types.is_floating(o_type)):
         raise TypeError(
