@@ -1050,6 +1050,50 @@ def _q_llm_corpus_prep(sf_dir: str):
                            bench)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """KenLM-style quality signal: per-doc mean ln-likelihood under the
+    corpus's own unigram model (stages/text_ops.unigram_logprob) — count
+    pass + broadcast vocabulary + one streaming scored pass. Rounded to 6
+    (the oracle's AVG sums in a different order)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import unigram_logprob
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return _round_cols(unigram_logprob(ds), ["unigram_logprob"], digits=6)
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """SemDeDup-style clustering primitive: one Lloyd assignment step over
+    the embeddings table, centroids = the 8 lowest-vec_id vectors
+    (deterministic, SQL-restatable); broadcast centroid matrix, vectorized
+    per-batch argmin, zero shuffle (stages/similarity.kmeans_assign)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.similarity import kmeans_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, k=8)
+    return _round_cols(out, ["dist"], digits=6)
+
+
+def _q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-minute inactivity
+    gap): one key-hash bucket shuffle, vectorized per-bucket session
+    numbering (stages/windows.sessionize)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts",
+                      gap_seconds=1800.0, id_col="event_id") \
+        .select_columns(["event_id", "user_id", "session_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1117,6 +1161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_interleaved_pack": _q_kg_interleaved_pack,
         # --- flagship composition (round 4) ---
         "llm_corpus_prep": _q_llm_corpus_prep,
+        # --- round-4 additions ---
+        "unigram_logprob": _q_unigram_logprob,
+        "kmeans_assign": _q_kmeans_assign,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -1811,5 +1859,57 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, span_index::BIGINT AS span_index, span_tokens,
                    ((cum - span_tokens) // 2048)::BIGINT AS pack_id
             FROM w
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS tok
+              FROM documents
+            ),
+            counts AS (SELECT tok, COUNT(*)::DOUBLE AS c
+                       FROM toks GROUP BY tok),
+            total AS (SELECT COUNT(*)::DOUBLE AS n FROM toks)
+            SELECT t.doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(AVG(ln(c.c / (SELECT n FROM total))), 6)
+                       AS unigram_logprob
+            FROM toks t JOIN counts c USING (tok)
+            GROUP BY t.doc_id
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+              SELECT embedding AS cvec,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            d AS (
+              SELECT e.vec_id, c.cluster,
+                     list_sum(list_transform(
+                       list_zip(e.embedding, c.cvec),
+                       x -> (CAST(x[1] AS DOUBLE)
+                             - CAST(x[2] AS DOUBLE)) ** 2)) AS dist
+              FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cluster::BIGINT AS cluster,
+                   ROUND(dist, 6) AS dist
+            FROM d
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY dist, cluster) = 1
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL '1800' SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   (1 + SUM(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+            FROM o
         """,
     }

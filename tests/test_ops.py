@@ -530,3 +530,140 @@ class TestRangeJoin:
             ray.data.from_arrow(t), "value", bands,
             id_cols=["event_id"]).take_all())
         assert out == [(1, 0), (2, 0), (2, 1)]  # 99.0 matches nothing
+
+
+class TestUnigramLogprob:
+    def test_matches_duckdb(self, ray_session, docs_ds):
+        from wikidata_edit_history_ray.stages.text_ops import unigram_logprob
+
+        got = {r["doc_id"]: (r["n_tokens"], round(r["unigram_logprob"], 6))
+               for r in unigram_logprob(
+                   docs_ds.select_columns(["doc_id", "text"])).take_all()}
+        exp = duckdb.sql(f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS tok
+              FROM read_parquet('{SF_DIR}/documents.parquet')
+            ),
+            counts AS (SELECT tok, COUNT(*)::DOUBLE c FROM toks GROUP BY tok),
+            total AS (SELECT COUNT(*)::DOUBLE n FROM toks)
+            SELECT t.doc_id, COUNT(*)::BIGINT,
+                   ROUND(AVG(ln(c.c / (SELECT n FROM total))), 6)
+            FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+        """).fetchall()
+        assert got == {d: (n, lp) for d, n, lp in exp}
+
+    def test_empty_docs_emit_nothing(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import unigram_logprob
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "text": pa.array(["hello hello world", "", None],
+                                       type=pa.string())})
+        rows = unigram_logprob(ray.data.from_arrow(t)).take_all()
+        assert [r["doc_id"] for r in rows] == [1]
+        # counts: hello=2, world=1, total=3
+        import math
+        exp = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+        assert abs(rows[0]["unigram_logprob"] - exp) < 1e-12
+        assert rows[0]["n_tokens"] == 3
+
+
+class TestKMeans:
+    def test_assign_matches_duckdb(self, ray_session, emb_ds):
+        from wikidata_edit_history_ray.stages.similarity import kmeans_assign
+
+        got = {r["vec_id"]: (r["cluster"], round(r["dist"], 6))
+               for r in kmeans_assign(
+                   emb_ds.select_columns(["vec_id", "embedding"]),
+                   k=8).take_all()}
+        exp = duckdb.sql(f"""
+            WITH c AS (
+              SELECT embedding AS cvec,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM read_parquet('{SF_DIR}/embeddings.parquet')
+              ORDER BY vec_id LIMIT 8
+            ),
+            d AS (
+              SELECT e.vec_id, c.cluster,
+                     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> (CAST(x[1] AS DOUBLE)
+                             - CAST(x[2] AS DOUBLE)) ** 2)) AS dist
+              FROM read_parquet('{SF_DIR}/embeddings.parquet') e
+              CROSS JOIN c
+            )
+            SELECT vec_id, cluster::BIGINT, ROUND(dist, 6) FROM d
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY dist, cluster) = 1
+        """).fetchall()
+        assert got == {v: (c, dd) for v, c, dd in exp}
+
+    def test_fit_matches_local_lloyd(self, ray_session, emb_ds):
+        """Distributed partial-sum Lloyd == single-process numpy Lloyd."""
+        from wikidata_edit_history_ray.stages.similarity import kmeans_fit
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        order = np.argsort(np.array(t.column("vec_id").to_pylist()))
+        X = np.array(t.column("embedding").to_pylist(),
+                     dtype=np.float64)[order]
+        C = X[:8].copy()
+        for _ in range(3):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(8):
+                m = X[a == j]
+                if len(m):
+                    C[j] = m.mean(axis=0)
+        got = kmeans_fit(emb_ds.select_columns(["vec_id", "embedding"]),
+                         k=8, iters=3)
+        # means accumulate in different order across partials -> tolerance
+        assert np.allclose(got, C, rtol=1e-9, atol=1e-12)
+
+
+class TestSessionize:
+    def test_matches_duckdb_window(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.windows import sessionize
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+        got = {r["event_id"]: r["session_id"]
+               for r in sessionize(ds, "user_id", "ts", 1800.0,
+                                   id_col="event_id").take_all()}
+        exp = duckdb.sql(f"""
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL '1800' SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM read_parquet('{SF_DIR}/events.parquet')
+            )
+            SELECT event_id,
+                   (1 + SUM(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING))::BIGINT
+            FROM o""").fetchall()
+        assert got == dict(exp)
+
+    def test_numeric_epoch_seconds_and_boundary(self, ray_session):
+        """Numeric ts = epoch seconds; a gap EQUAL to gap_seconds does not
+        break the session (strictly greater does)."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.windows import sessionize
+
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array([0.0, 30.0, 60.5, 5.0], type=pa.float64()),
+            "eid": pa.array([1, 2, 3, 4], type=pa.int64())})
+        out = {r["eid"]: r["session_id"] for r in sessionize(
+            ray.data.from_arrow(t), "k", "ts", 30.0, id_col="eid").take_all()}
+        # 0 -> 30 (gap 30, not a break), 30 -> 60.5 (gap 30.5 > 30, break)
+        assert out == {1: 1, 2: 1, 3: 2, 4: 1}

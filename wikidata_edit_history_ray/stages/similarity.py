@@ -162,3 +162,109 @@ def ivf_topk(ds, query_matrix, k: int = 10, n_centroids: int = 16,
         expr=f"ivf_cell in {sorted(probe_cells)}")
     return brute_force_topk(probed, query_matrix, k=k, vec_col=vec_col,
                             id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# k-means over the embedding column (SemDeDup-style corpus clustering)
+# ---------------------------------------------------------------------------
+
+def _k_lowest_id_vectors(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
+    """The k lowest-id vectors as a (k, d) float64 matrix — the
+    deterministic, SQL-restatable centroid seed. Scale shape: per-batch
+    local min-k candidates, then one driver merge over k x blocks rows
+    (never a global sort of the corpus)."""
+    import pyarrow.compute as pc
+
+    def local_mink(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col])
+        order = pc.sort_indices(t.column(id_col))[:k]
+        return t.take(order)
+
+    cand = ds.map_batches(local_mink, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    return np.array([r[vec_col] for r in cand[:k]], dtype=np.float64)
+
+
+def kmeans_assign(ds, centroids=None, k: int = 8, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """One Lloyd ASSIGNMENT step: nearest centroid per vector by squared L2
+    distance -> Dataset of (id_col, cluster, dist) — the partitioning
+    primitive behind SemDeDup-style semantic dedup and clustered data
+    mixing. `centroids` defaults to the k lowest-id vectors (deterministic
+    and exactly restatable in SQL, so the step hard-oracles); ties go to the
+    lowest centroid index on both sides.
+
+    100-TB shape: the (k, d) centroid matrix is the ONLY side state —
+    broadcast once (task-spec capture, same as BatchTopK) — and the corpus
+    streams through one map_batches; distances are one vectorized
+    (n, k, d) reduction per batch. No shuffle at all. `dist` is a raw
+    double; round it when comparing against a SQL restatement (summation
+    order differs)."""
+    if centroids is None:
+        centroids = _k_lowest_id_vectors(ds, k, vec_col, id_col)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if batch.num_rows == 0:
+            return pa.table({id_col: ids,
+                             "cluster": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.float64())})
+        X = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        # exact sum((x-c)^2): the expanded |x|^2 - 2xC + |c|^2 form changes
+        # the float rounding and can flip near-tie argmins vs the oracle
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cluster = np.argmin(d2, axis=1)  # first occurrence = lowest index
+        dist = d2[np.arange(len(X)), cluster]
+        return pa.table({
+            id_col: ids,
+            "cluster": pa.array(cluster.astype(np.int64)),
+            "dist": pa.array(dist, type=pa.float64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Full distributed Lloyd loop -> (k, d) float64 centroids.
+    Deterministic: seeds from the k lowest-id vectors; empty clusters keep
+    their previous centroid.
+
+    100-TB shape per iteration: centroids broadcast in the task spec, ONE
+    streaming pass emits per-batch partial (cluster, sum, count) rows —
+    k rows per batch, vectorized np.add.at — and the driver combines
+    k x blocks tiny partials (bytes, not data). The corpus never shuffles;
+    iteration count bounds total passes."""
+    C = _k_lowest_id_vectors(ds, k, vec_col, id_col)
+    d = C.shape[1]
+
+    for _ in range(iters):
+        Cc = C  # capture by value per iteration
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                    "n": pa.array([], type=pa.int64())})
+            X = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((len(Cc), X.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=len(Cc)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(Cc), dtype=np.int64)),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "n": pa.array(counts)})
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+    return C

@@ -521,6 +521,80 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
         "rep_ratio": pa.array(ratio, type=pa.float64())})
 
 
+_N_TOKENS_SENTINEL = "\x00n_tokens"
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc mean log-likelihood under the corpus's OWN unigram model —
+    the KenLM-style quality-filter signal (CCNet/LLaMA data pipelines score
+    docs by LM perplexity and keep the fluent band; a unigram model is the
+    self-contained, oracle-exact analog): for each doc,
+        unigram_logprob = avg over tokens of ln(count(token) / total_tokens)
+    with counts from the WHOLE corpus -> Dataset of
+    (id_col, n_tokens, unigram_logprob). Empty docs emit nothing. The mean
+    is a RAW double; consumers comparing against a SQL AVG (different
+    summation order) should round both sides (__ray_entry__._round_cols).
+
+    100-TB shape — same two-pass statistic-then-stream as tfidf_top_terms:
+    pass 1 builds (token, count) from per-batch Counter partials (shuffle
+    volume = vocabulary x batches, never corpus tokens) and carries the
+    corpus token total as a sentinel partial; the vocabulary-sized table is
+    BROADCAST (block refs, dict once per worker); pass 2 streams the corpus
+    once, scoring inside the batch with libm ln. No corpus-sized shuffle."""
+    import math
+    from collections import Counter
+
+    from .distributed import _get_broadcast_dict, broadcast_dataset
+
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(_batch_tokens(batch.column(text_col)))
+        n = sum(c.values())
+        return pa.table({
+            "token": pa.array([_N_TOKENS_SENTINEL] + list(c.keys()),
+                              type=pa.string()),
+            "count": pa.array([n] + list(c.values()), type=pa.int64())})
+
+    count_ds = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").sum("count")
+    count_refs = broadcast_dataset(count_ds.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "count": pc.cast(b.column("sum(count)"),
+                                             pa.int64())}),
+        batch_format="pyarrow"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap = _get_broadcast_dict(count_refs, "token", "count")
+        n_total = float(cmap[_N_TOKENS_SENTINEL])
+        out_id, out_n, out_lp = [], [], []
+        for d, txt in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = _VOCAB_RE.findall((txt or "").lower())
+            if not toks:
+                continue
+            acc = 0.0
+            for tok in toks:
+                c = cmap.get(tok)
+                if c is None:
+                    raise ValueError(
+                        f"unigram_logprob: token {tok!r} of doc {d!r} is "
+                        f"absent from the count pass — the input dataset's "
+                        f"lineage produced different rows on re-execution; "
+                        f"materialize a deterministic input first")
+                acc += math.log(c / n_total)
+            out_id.append(d)
+            out_n.append(len(toks))
+            out_lp.append(acc / len(toks))
+        return pa.table({
+            id_col: pa.array(out_id, type=id_type),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "unigram_logprob": pa.array(out_lp, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # PII patterns (RE2-compatible — the same source strings run under Arrow's
 # RE2 kernels here and DuckDB's RE2 regexp_replace in the oracle)
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

@@ -19,6 +19,21 @@ import numpy as np
 import pyarrow as pa
 
 
+def _ts_to_us(ser, op_name: str, ts_col: str) -> np.ndarray:
+    """Pandas ts series -> int64 epoch MICROSECONDS. Numeric columns are
+    epoch SECONDS (the unit every *_seconds parameter uses); blind
+    datetime64[us] reinterpretation would make windows 1e6x too wide."""
+    import pandas.api.types as pdt
+
+    if pdt.is_datetime64_any_dtype(ser):
+        return ser.to_numpy().astype("datetime64[us]").astype(np.int64)
+    if pdt.is_numeric_dtype(ser):
+        return np.round(ser.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+    raise TypeError(
+        f"{op_name}: ts column {ts_col!r} must be a timestamp or numeric "
+        f"epoch-seconds column, got {ser.dtype}")
+
+
 def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
                        window_seconds: float, out_col: str = "window_sum",
                        buckets: int | None = None):
@@ -33,24 +48,9 @@ def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
                                       buckets))
 
     def window_bucket(group):
-        import pandas.api.types as pdt
-
         g = group.sort_values([key_col, ts_col], kind="mergesort")
         n = len(g)
-        ser = g[ts_col]
-        if pdt.is_datetime64_any_dtype(ser):
-            ts = ser.to_numpy().astype("datetime64[us]").astype(np.int64)
-        elif pdt.is_numeric_dtype(ser):
-            # numeric timestamps are epoch SECONDS — the same unit as
-            # window_seconds; blind datetime64[us] reinterpretation would
-            # make the window 1e6x too wide
-            ts = np.round(
-                ser.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
-        else:
-            raise TypeError(
-                f"sliding_window_sum: ts column {ts_col!r} must be a "
-                f"timestamp or numeric epoch-seconds column, got "
-                f"{ser.dtype}")
+        ts = _ts_to_us(g[ts_col], "sliding_window_sum", ts_col)
         vals = g[value_col].to_numpy(dtype=np.float64)
         keys = g[key_col].to_numpy()
         win = np.int64(round(window_seconds * 1_000_000))
@@ -72,3 +72,56 @@ def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_wb").map_groups(window_bucket, batch_format="pandas")
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
+               id_col: str | None = None, out_col: str = "session_id",
+               buckets: int | None = None):
+    """Gap-based sessionization: per key, a new session starts whenever the
+    time since the PREVIOUS event (ordered by ts, then `id_col` for
+    deterministic tie-break) exceeds `gap_seconds` — the standard
+    user-activity / conversation-turn segmentation a training-data pipeline
+    applies before assembling dialogue or interaction sequences. Adds
+    `out_col` (per-key session number, 1-based) to every row. Exactly the
+    SQL window
+        1 + SUM(CASE WHEN ts - lag(ts) > gap THEN 1 ELSE 0 END)
+            OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)
+
+    Distributed shape — identical to sliding_window_sum: ONE key-hash coarse
+    bucket shuffle (~buckets reduce groups, never one per key), then each
+    bucket sorts once and derives every key's session numbers from three
+    vectorized scans (key-change mask, timestamp diff, cumulative sum) — no
+    per-key task, no per-row Python; per-task state is bucket-sized."""
+    from .distributed import _hash_bucket_array, default_reduce_buckets
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+    gap_us = np.int64(round(gap_seconds * 1_000_000))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_sb", _hash_bucket_array(batch.column(key_col).to_pylist(),
+                                      buckets))
+
+    sort_cols = [key_col, ts_col] + ([id_col] if id_col else [])
+
+    def session_bucket(group):
+        g = group.sort_values(sort_cols, kind="mergesort")
+        n = len(g)
+        if n == 0:
+            g = g.drop(columns=["_sb"]).copy()
+            g[out_col] = np.array([], dtype=np.int64)
+            return g
+        ts = _ts_to_us(g[ts_col], "sessionize", ts_col)
+        keys = g[key_col].to_numpy()
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gap_break = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
+        is_start = new_key | gap_break
+        global_sid = np.cumsum(is_start)          # monotone non-decreasing
+        key_base = np.maximum.accumulate(np.where(new_key, global_sid, 0))
+        g = g.drop(columns=["_sb"]).copy()
+        g[out_col] = (global_sid - key_base + 1).astype(np.int64)
+        return g
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_sb").map_groups(session_bucket, batch_format="pandas")
