@@ -352,15 +352,22 @@ def run_scaling_isolation(sf_dir: str) -> dict:
 # --dedup-scale: the dedup family end-to-end at corpus scale (verdict r3 #6).
 #
 # Deterministic large documents table derived from the tier's base texts:
-# per 20 docs one EXACT-dup pair and one NEAR-dup pair (one appended token,
-# J ~ 0.98); every doc carries 15 unique suffix tokens so the ~512 copies of
-# each base text sit at J ~ 0.59 and the tier's natural J=0.99 pairs dilute
-# to ~0.71 — both below the 0.8 threshold. Expected survivor counts are
-# therefore ANALYTIC (N - N/20 exact; N - N/10 canonical) and the run
-# self-checks them. The minhash verify is FORCED onto the hash-partitioned
-# pair join (gather_pair_values) — the 100-TB path — and llm_corpus_prep's
-# benchmark slice (doc_id%29==1, ~N/29 docs -> >2M grams) forces the
-# decontamination shuffle path with 128-bit gram keys.
+# doc i reuses base text i%m under EPOCH i//m, with an epoch marker token
+# interleaved after every 2 base words — re-uses of a base across epochs
+# share no word 3-gram (every shingle straddles a marker), so each doc's
+# content is globally unique and the only near-dup structure is the PLANTED
+# one: per 20 docs one EXACT-dup pair and one NEAR-dup pair (one appended
+# token, J ~ 0.98); 15 unique suffix tokens per doc keep everything else
+# far below the 0.8 threshold. (The previous design — raw base + suffix —
+# put ~N/m same-base copies at J~0.59 in nearly every LSH band bucket:
+# a 512-way near-copy clique per base at 2.56M docs, ~256 candidate peers
+# per doc, and a candidate-verify exchange in the hundreds of GB. Real
+# corpora do not have 512-way 0.59-Jaccard cliques; planted-pair density
+# is the honest scale model.) Expected survivor counts are ANALYTIC
+# (N - N/20 exact; N - N/10 canonical) and the run self-checks them. The
+# minhash verify is FORCED onto the hash-partitioned pair join
+# (gather_pair_values) and the decontamination shuffle path is forced via
+# decontam_broadcast_limit=0 — the 100-TB shapes.
 # ---------------------------------------------------------------------------
 
 DEDUP_SCALE_DOCS = int(os.environ.get("GRAFT_DEDUP_SCALE_DOCS", "2560000"))
@@ -380,20 +387,32 @@ def _gen_dedup_corpus(path: str, n_docs: int, sf_dir: str) -> str:
     base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     texts_ref = ray.put([t or "" for t in base.column("text").to_pylist()])
 
+    def epoch_text(base_text: str, epoch: int) -> str:
+        # marker after every 2 base words: every word 3-gram contains a
+        # marker, so texts of the same base under different epochs share
+        # no shingle at all (cross-epoch Jaccard = 0)
+        words = base_text.split()
+        out = []
+        for j in range(0, len(words), 2):
+            out.extend(words[j:j + 2])
+            out.append(f"e{epoch}m{j}")
+        return " ".join(out)
+
     def gen(batch: pa.Table) -> pa.Table:
         base_texts = ray.get(texts_ref)
         m = len(base_texts)
         ids = batch.column("id").to_pylist()
         out = []
         for i in ids:
-            if i % 20 == 1:      # exact clone of doc i-1
-                out.append(base_texts[(i - 1) % m]
-                           + " " + _suffix_tokens(i - 1))
-            elif i % 20 == 11:   # near clone of doc i-1 (one appended token)
-                out.append(base_texts[(i - 1) % m]
-                           + " " + _suffix_tokens(i - 1) + " nearx")
-            else:
-                out.append(base_texts[i % m] + " " + _suffix_tokens(i))
+            # clone sources: i%20 in {1, 11} -> doc i-1's text verbatim
+            # (built from SRC's base and epoch, so it is an exact copy even
+            # across an epoch boundary)
+            src = i - 1 if i % 20 in (1, 11) else i
+            body = epoch_text(base_texts[src % m], src // m) \
+                + " " + _suffix_tokens(src)
+            if i % 20 == 11:   # near clone (one appended token, J ~ 0.98)
+                body += " nearx"
+            out.append(body)
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "text": pa.array(out, type=pa.string())})
 
@@ -406,7 +425,13 @@ def _gen_dedup_corpus(path: str, n_docs: int, sf_dir: str) -> str:
 
 
 def _suffix_tokens(i: int) -> str:
-    return " ".join(f"u{i}w{k}" for k in range(15))
+    # 30 unique tokens: a pair sharing its FULL marked body (duplicate base
+    # text under the same epoch — the sf tables contain natural exact-dup
+    # texts) has J = (B-2)/(B + 2*30 + 2) <= ~0.70 even at the longest base
+    # (B ~ 150 marked words), safely below the 0.8 verify threshold, while
+    # the planted near pair (identical body AND suffix, one appended token)
+    # stays at ~0.98
+    return " ".join(f"u{i}w{k}" for k in range(30))
 
 
 def run_dedup_scale(sf_dir: str, num_cpus: int,
@@ -424,7 +449,7 @@ def run_dedup_scale(sf_dir: str, num_cpus: int,
         exact_dedup, near_dup_canonical_filter)
 
     os.makedirs("/tmp/widiff_cache", exist_ok=True)
-    path = _gen_dedup_corpus(f"/tmp/widiff_cache/dedup_scale_{n_docs}",
+    path = _gen_dedup_corpus(f"/tmp/widiff_cache/dedup_scale_{n_docs}_v3",
                              n_docs, sf_dir)
 
     def read():
