@@ -29,6 +29,9 @@ SUBSET = [
     "text_analysis",
     "pack_sequences",
     "llm_corpus_prep",
+    "unigram_logprob",
+    "kmeans_assign",
+    "events_sessionize",
 ]
 
 
