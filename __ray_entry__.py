@@ -1094,6 +1094,20 @@ def _q_events_sessionize(sf_dir: str):
         .select_columns(["event_id", "user_id", "session_id"])
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """Cross-corpus duplicate-span removal (paragraph-dedup analog, CCNet /
+    Lee et al. 2021): 3-word blocks occurring in >= 2 distinct docs are
+    removed from every doc (stages/text_ops.chunk_dedup) — heavy-hitter
+    count over 128-bit chunk hashes, then one streaming rewrite."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import chunk_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_dedup(ds, chunk_words=3, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "kmeans_assign": _q_kmeans_assign,
         "events_sessionize": _q_events_sessionize,
+        "chunk_dedup": _q_chunk_dedup,
     }
 
 
@@ -1911,5 +1926,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                       PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
             FROM o
+        """,
+        "chunk_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, CAST(floor((ord - 1) / 3) AS BIGINT)
+                         AS chunk_ord,
+                     string_agg(word, ' ' ORDER BY ord) AS chunk
+              FROM w GROUP BY doc_id, 2
+            ), freq AS (
+              SELECT chunk FROM ch
+              GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+              SELECT c.doc_id, c.chunk_ord, c.chunk,
+                     (f.chunk IS NOT NULL) AS is_dup
+              FROM ch c LEFT JOIN freq f USING (chunk)
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_ord)
+                       FILTER (WHERE NOT is_dup) AS clean_text,
+                   CAST(COALESCE(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS removed_chunks,
+                   CAST(count(*) AS BIGINT) AS total_chunks
+            FROM marked GROUP BY doc_id
         """,
     }

@@ -32,6 +32,7 @@ SUBSET = [
     "unigram_logprob",
     "kmeans_assign",
     "events_sessionize",
+    "chunk_dedup",
 ]
 
 

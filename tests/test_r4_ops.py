@@ -155,3 +155,71 @@ class TestQuantileGuards:
             "x": pa.array(list(range(100)), type=pa.int64())}))
         with pytest.raises(ValueError, match="distinct"):
             column_quantiles(ds, "x", max_distinct=10)
+
+
+class TestChunkDedup:
+    DOCS = {
+        1: "a b c d e f g h i",
+        2: "a b c x y z q r s",
+        3: "x y z q r s extra words here",
+        4: "unique words only in this document right here now ok",
+        5: "a b c a b c a b c",     # every block frequent -> NULL clean_text
+        6: "",                      # '' chunk, shared with doc 7 -> frequent
+        7: "",
+    }
+
+    def _brute(self, w=3, md=2):
+        from collections import Counter
+
+        from wikidata_edit_history_ray.stages.text_ops import _doc_chunks
+
+        c = Counter()
+        for t in self.DOCS.values():
+            for ch in set(_doc_chunks(t, w)):
+                c[ch] += 1
+        freq = {k for k, v in c.items() if v >= md}
+        out = {}
+        for d, t in self.DOCS.items():
+            chs = _doc_chunks(t, w)
+            kept = [x for x in chs if x not in freq]
+            out[d] = (" ".join(kept) if kept else None,
+                      len(chs) - len(kept), len(chs))
+        return out
+
+    @pytest.mark.parametrize("broadcast_limit", [2_000_000, 0],
+                             ids=["broadcast", "shuffle"])
+    def test_matches_bruteforce_both_paths(self, ray_session,
+                                           broadcast_limit):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import chunk_dedup
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(self.DOCS), "text": list(self.DOCS.values())}))
+        res = chunk_dedup(ds, broadcast_limit=broadcast_limit) \
+            .to_pandas().set_index("doc_id").sort_index()
+        got = {d: (r.clean_text if isinstance(r.clean_text, str) else None,
+                   int(r.removed_chunks), int(r.total_chunks))
+               for d, r in res.iterrows()}
+        assert got == self._brute()
+
+    def test_min_docs_one_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import chunk_dedup
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
+        with pytest.raises(ValueError, match="min_docs"):
+            chunk_dedup(ds, min_docs=1)
+
+    def test_sliced_key_bucket_stability(self):
+        """_bucket_from_key128 on a sliced array must bucket by VALUE —
+        a slice's data buffer belongs to the parent array."""
+        from wikidata_edit_history_ray.stages.text_ops import (
+            _bucket_from_key128, _gram_hash128)
+
+        keys, bk = _gram_hash128(["aa", "bb", "cc", "dd"], 64)
+        whole = _bucket_from_key128(keys, 64)
+        assert list(whole) == list(bk)
+        part = _bucket_from_key128(keys.slice(2), 64)
+        assert list(part) == list(bk[2:])

@@ -635,3 +635,214 @@ def analyze_text(ds, text_col: str = "text", ops=("language", "tokens", "quality
     if "fingerprint" in ops:
         ds = ds.map_batches(lambda b: fingerprint(b, text_col), batch_format="pyarrow")
     return ds
+
+
+# ---- Cross-corpus duplicate-chunk removal (paragraph-level dedup) ----
+
+def _doc_chunks(text: str, chunk_words: int) -> list:
+    """Fixed non-overlapping word blocks — ''.split(' ') == [''] matches SQL
+    string_split(text, ' ') on empty text, so both sides chunk identically."""
+    words = (text or "").split(" ")
+    return [" ".join(words[i:i + chunk_words])
+            for i in range(0, len(words), chunk_words)]
+
+
+def _bucket_from_key128(keys, buckets: int) -> np.ndarray:
+    """Bucket of a fixed_size_binary(16) gram key = first 64-bit half mod
+    buckets — identical to the bucket _gram_hash128 assigned the original
+    string, so key-only tables co-partition with string-derived tables.
+    Accepts Array or ChunkedArray; honors a sliced array's offset (its data
+    buffer is the parent's)."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    data = np.frombuffer(keys.buffers()[1], dtype="<u8",
+                         offset=keys.offset * 16, count=n * 2).reshape(n, 2)
+    return (data[:, 0] % np.uint64(buckets)).astype(np.int64)
+
+
+def chunk_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                chunk_words: int = 3, min_docs: int = 2,
+                broadcast_limit: int = 2_000_000, buckets: int | None = None):
+    """Cross-corpus duplicate-span removal, the fixed-block analog of
+    paragraph/line-level dedup (CCNet drops lines repeated across documents;
+    Lee et al. 2021 deduplicate repeated training-data substrings): each doc
+    splits into consecutive `chunk_words`-word blocks, a block whose exact
+    text occurs in >= `min_docs` DISTINCT docs corpus-wide is boilerplate and
+    is removed -> Dataset of (id_col, clean_text, removed_chunks,
+    total_chunks); clean_text is NULL when every block of a doc is removed.
+
+    100-TB shape — heavy-hitter statistic, then one streaming rewrite:
+    pass 1 counts docs per chunk from per-batch partials (distinct chunks
+    within a doc counted once), exchanged as slim 128-bit chunk hashes
+    (fixed_size_binary(16) via _gram_hash128 — never the chunk strings) into
+    coarse hash buckets; each bucket sums locally and emits only the FREQUENT
+    keys (>= min_docs). Real-corpus boilerplate follows a power law, so the
+    frequent set is orders of magnitude smaller than the distinct-chunk set.
+    Pass 2 is dual-path like decontaminate:
+    - frequent set <= broadcast_limit (common): broadcast the 16-byte keys,
+      one streaming map_batches rewrites every doc — zero further shuffle;
+    - beyond: slim (chunk_h, doc, ord) instance rows co-partition with the
+      frequent keys on the chunk-hash bucket, buckets emit hit (doc, ord)
+      pairs, and one doc-id-bucket co-partition joins the hit ords back to
+      the doc rows for the rewrite — text rides the shuffle exactly once.
+    Two DIFFERENT chunks share a 128-bit key with P ~ 2^-128 (documented
+    collision bound, same as the decontamination gram keys)."""
+    from collections import Counter
+
+    from .distributed import (_get_broadcast_set, _hash_bucket_array,
+                              default_reduce_buckets)
+
+    if min_docs < 2:
+        raise ValueError(f"chunk_dedup: min_docs must be >= 2 (a block is "
+                         f"always frequent to itself), got {min_docs}")
+    if buckets is None:
+        buckets = default_reduce_buckets()
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cnt = Counter()
+        for t in batch.column(text_col).to_pylist():
+            for ch in set(_doc_chunks(t, chunk_words)):
+                cnt[ch] += 1
+        kh, bk = _gram_hash128(list(cnt.keys()), buckets)
+        return pa.table({
+            "chunk_h": kh,
+            "bucket": pa.array(bk, type=pa.int64()),
+            "ndocs": pa.array(list(cnt.values()), type=pa.int64())})
+
+    def bucket_frequent(group: pa.Table) -> pa.Table:
+        agg = group.group_by("chunk_h").aggregate([("ndocs", "sum")])
+        freq = agg.filter(
+            pc.greater_equal(agg.column("ndocs_sum"), min_docs))
+        return pa.table({"chunk_h": freq.column("chunk_h")})
+
+    freq_mat = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_frequent,
+                                      batch_format="pyarrow").materialize()
+
+    def rebuild_rows(ids, texts, is_dup_of):
+        """Shared rewrite: is_dup_of(doc_index, flat_chunk_slice) -> bool[]"""
+        out_text, out_rem, out_tot = [], [], []
+        per_doc = [_doc_chunks(t, chunk_words) for t in texts]
+        for i, chs in enumerate(per_doc):
+            dup = is_dup_of(i, chs)
+            kept = [c for c, d in zip(chs, dup) if not d]
+            out_tot.append(len(chs))
+            out_rem.append(len(chs) - len(kept))
+            out_text.append(" ".join(kept) if kept else None)
+        return pa.table({
+            id_col: pa.array(ids, type=id_type),
+            "clean_text": pa.array(out_text, type=pa.string()),
+            "removed_chunks": pa.array(out_rem, type=pa.int64()),
+            "total_chunks": pa.array(out_tot, type=pa.int64())})
+
+    if freq_mat.count() <= broadcast_limit:
+        from .distributed import _pin
+        _pin(freq_mat)
+        freq_refs = tuple(freq_mat.to_arrow_refs())
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            fset = _get_broadcast_set(freq_refs, "chunk_h")
+            texts = batch.column(text_col).to_pylist()
+            per_doc = [_doc_chunks(t, chunk_words) for t in texts]
+            flat = [c for chs in per_doc for c in chs]
+            kh, _ = _gram_hash128(flat, 1)
+            khl = kh.to_pylist()
+            offsets = np.cumsum([0] + [len(chs) for chs in per_doc])
+
+            def is_dup(i, chs):
+                return [h in fset for h in khl[offsets[i]:offsets[i + 1]]]
+
+            return rebuild_rows(batch.column(id_col).to_pylist(), texts,
+                                is_dup)
+
+        return ds.map_batches(rewrite, batch_format="pyarrow")
+
+    # --- shuffle path: frequent set too large to broadcast ---
+    def instance_rows(batch: pa.Table) -> pa.Table:
+        ids, ords, chs = [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for j, ch in enumerate(_doc_chunks(t, chunk_words)):
+                ids.append(d)
+                ords.append(j)
+                chs.append(ch)
+        kh, bk = _gram_hash128(chs, buckets)
+        return pa.table({
+            "chunk_h": kh,
+            "doc": pa.array(ids, type=id_type),
+            "ord": pa.array(ords, type=pa.int64()),
+            "is_freq": pa.array(np.zeros(len(ids), dtype=np.int8)),
+            "bucket": pa.array(bk, type=pa.int64())})
+
+    def tag_frequent(batch: pa.Table) -> pa.Table:
+        kh = batch.column("chunk_h").combine_chunks()
+        bk = _bucket_from_key128(kh, buckets)
+        n = len(kh)
+        return pa.table({
+            "chunk_h": kh,
+            "doc": pa.nulls(n, type=id_type),
+            "ord": pa.nulls(n, type=pa.int64()),
+            "is_freq": pa.array(np.ones(n, dtype=np.int8)),
+            "bucket": pa.array(bk, type=pa.int64())})
+
+    def bucket_hits(group: pa.Table) -> pa.Table:
+        is_f = pc.equal(group.column("is_freq"), 1)
+        freq = group.filter(is_f).column("chunk_h").combine_chunks()
+        inst = group.filter(pc.invert(is_f))
+        if len(freq) == 0 or inst.num_rows == 0:
+            return pa.table({"doc": pa.array([], type=id_type),
+                             "ord": pa.array([], type=pa.int64())})
+        hits = inst.filter(pc.is_in(inst.column("chunk_h"), value_set=freq))
+        return pa.table({"doc": hits.column("doc"),
+                         "ord": hits.column("ord")})
+
+    hit_pairs = ds.map_batches(instance_rows, batch_format="pyarrow") \
+        .union(freq_mat.map_batches(tag_frequent, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(bucket_hits, batch_format="pyarrow")
+
+    # join the hit (doc, ord) pairs back onto the doc rows: one doc-id-hash
+    # co-partition; the doc text rides this single shuffle and nothing else
+    def docs_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        return pa.table({
+            "doc": ids,
+            "text_p": batch.column(text_col),
+            "ord": pa.nulls(batch.num_rows, type=pa.int64()),
+            "is_pair": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "bucket": _hash_bucket_array(ids.to_pylist(), buckets)})
+
+    def pairs_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc")
+        return pa.table({
+            "doc": ids,
+            "text_p": pa.nulls(batch.num_rows, type=pa.string()),
+            "ord": batch.column("ord"),
+            "is_pair": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "bucket": _hash_bucket_array(ids.to_pylist(), buckets)})
+
+    def bucket_rewrite(group: pa.Table) -> pa.Table:
+        is_p = pc.equal(group.column("is_pair"), 1)
+        pairs = group.filter(is_p)
+        docs = group.filter(pc.invert(is_p))
+        removed: dict = {}
+        for d, o in zip(pairs.column("doc").to_pylist(),
+                        pairs.column("ord").to_pylist()):
+            removed.setdefault(d, set()).add(o)
+        ids = docs.column("doc").to_pylist()
+        texts = docs.column("text_p").to_pylist()
+
+        def is_dup(i, chs):
+            gone = removed.get(ids[i], ())
+            return [j in gone for j in range(len(chs))]
+
+        return rebuild_rows(ids, texts, is_dup)
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(docs_tagged, batch_format="pyarrow") \
+        .union(hit_pairs.map_batches(pairs_tagged, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(bucket_rewrite, batch_format="pyarrow")
