@@ -1108,6 +1108,30 @@ def _q_chunk_dedup(sf_dir: str):
     return chunk_dedup(ds, chunk_words=3, min_docs=2)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic Efraimidis-Spirakis weighted sample, 25 docs per
+    language weighted by text length (stages/sampling.weighted_sample):
+    key = u^(1/w) with u from md5(doc_id) — block-local top-k partials,
+    one stratum groupby, tiny final merge."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def add_w(b):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        return b.append_column(
+            "weight", _pc.cast(_pc.add(_pc.utf8_length(b.column("text")), 1),
+                               _pa.float64()))
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow").drop_columns(["text"])
+    return weighted_sample(ds, "weight", 25, stratum_col="lang") \
+        .select_columns(["doc_id", "lang", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1180,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "events_sessionize": _q_events_sessionize,
         "chunk_dedup": _q_chunk_dedup,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1953,5 +1978,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS removed_chunks,
                    CAST(count(*) AS BIGINT) AS total_chunks
             FROM marked GROUP BY doc_id
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rn
+              FROM (SELECT doc_id, lang, source,
+                           (CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) + 0.5)
+                             / 1152921504606846976.0 AS u,
+                           CAST(length(text) + 1 AS DOUBLE) AS w
+                    FROM documents))
+            WHERE rn <= 25
         """,
     }

@@ -33,6 +33,7 @@ SUBSET = [
     "kmeans_assign",
     "events_sessionize",
     "chunk_dedup",
+    "weighted_sample",
 ]
 
 

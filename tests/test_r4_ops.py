@@ -223,3 +223,58 @@ class TestChunkDedup:
         assert list(whole) == list(bk)
         part = _bucket_from_key128(keys.slice(2), 64)
         assert list(part) == list(bk[2:])
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_aes(self, ray_session):
+        """A-ES selection == brute-force key ranking, across blocks."""
+        import hashlib
+        import math
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import weighted_sample
+
+        ids = list(range(1, 201))
+        ws = [float(1 + (i * 7) % 13) for i in ids]
+        strata = ["s" + str(i % 3) for i in ids]
+
+        def key(i, w):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            return math.pow((h + 0.5) / 16 ** 15, 1.0 / w)
+
+        expect = set()
+        for s in set(strata):
+            members = [(key(i, w), i) for i, w, st in zip(ids, ws, strata)
+                       if st == s]
+            expect |= {i for _, i in
+                       sorted(members, key=lambda t: (-t[0], t[1]))[:5]}
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": ids, "weight": ws, "stratum": strata})) \
+            .repartition(8)
+        got = weighted_sample(ds, "weight", 5, stratum_col="stratum") \
+            .to_pandas()
+        assert set(got.doc_id) == expect
+        assert list(got.columns) == ["doc_id", "weight", "stratum"]
+
+    def test_global_no_stratum(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import weighted_sample
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(range(50)), "weight": [1.0] * 50})).repartition(4)
+        got = weighted_sample(ds, "weight", 10).to_pandas()
+        assert len(got) == 10
+        assert "_stratum" not in got.columns and "_wk" not in got.columns
+
+    def test_nonpositive_weight_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import weighted_sample
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2], "weight": [1.0, 0.0]}))
+        with pytest.raises(Exception, match="weight must be > 0"):
+            weighted_sample(ds, "weight", 1).to_pandas()

@@ -75,3 +75,62 @@ def hash_split(ds, id_col: str = "doc_id",
         return batch.append_column("split", pa.array(names, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
+                    stratum_col: str | None = None):
+    """Deterministic weighted sampling without replacement, the
+    Efraimidis-Spirakis A-ES scheme (key = u^(1/w), keep the k largest keys)
+    with the uniform u derived from md5(id) instead of a RNG:
+        u = (int(md5(str(id))[:15 hex], 16) + 0.5) / 16^15   in (0, 1)
+    so the selection is a pure function of (id, weight) — reruns, resumes
+    and any cluster shape pick the IDENTICAL sample, and a SQL window
+    (ORDER BY pow(u, 1.0/w) DESC) oracles it. Keys compute through C libm
+    pow (math.pow) — the same libm DuckDB's POW calls, so the order is
+    bit-identical on both sides. Per-`stratum_col` when given, else global.
+    Weights must be strictly positive (validated loudly: a zero weight makes
+    u^(1/w) degenerate and a negative one inverts the order).
+
+    Distributed shape — identical to stratified_sample: block-local top-k
+    per stratum (the shuffle moves at most k x strata x blocks slim rows),
+    one groupby on the stratum, final per-stratum top-k."""
+    import math
+
+    _GLOBAL = "\x00all"
+    strat = stratum_col if stratum_col is not None else "_stratum"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        keys = []
+        for v, w in zip(ids, ws):
+            if w is None or not w > 0:
+                raise ValueError(
+                    f"weighted_sample: weight must be > 0, got {w!r} for "
+                    f"{id_col}={v!r}")
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            u = (h + 0.5) / 1152921504606846976.0  # 16^15
+            keys.append(math.pow(u, 1.0 / float(w)))
+        out = batch.append_column("_wk", pa.array(keys, type=pa.float64()))
+        if stratum_col is None:
+            out = out.append_column(
+                "_stratum", pa.array([_GLOBAL] * batch.num_rows,
+                                     type=pa.string()))
+        return out
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = add_key(batch).to_pandas()
+        df = df.sort_values([strat, "_wk", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby(strat, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(group):
+        g = group.sort_values(["_wk", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+        drop = ["_wk"] + (["_stratum"] if stratum_col is None else [])
+        return g.drop(columns=drop)
+
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby(strat).map_groups(final_topk, batch_format="pandas")
