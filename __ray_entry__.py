@@ -1132,6 +1132,20 @@ def _q_weighted_sample(sf_dir: str):
         .select_columns(["doc_id", "lang", "source"])
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic training-mix construction: 200-doc corpus at
+    en/de/fr = 0.5/0.3/0.2 via per-group md5-rank quotas
+    (stages/sampling.corpus_mix) — block-local top-quota partials, one
+    group shuffle of slim survivors."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+    return corpus_mix(ds, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, 200)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1205,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "chunk_dedup": _q_chunk_dedup,
         "weighted_sample": _q_weighted_sample,
+        "corpus_mix": _q_corpus_mix,
     }
 
 
@@ -1993,5 +2008,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                            CAST(length(text) + 1 AS DOUBLE) AS w
                     FROM documents))
             WHERE rn <= 25
+        """,
+        "corpus_mix": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+              FROM documents WHERE lang IN ('en', 'de', 'fr'))
+            WHERE rn <= CASE lang WHEN 'en' THEN 100
+                                  WHEN 'de' THEN 60
+                                  ELSE 40 END
         """,
     }

@@ -34,6 +34,7 @@ SUBSET = [
     "events_sessionize",
     "chunk_dedup",
     "weighted_sample",
+    "corpus_mix",
 ]
 
 

@@ -278,3 +278,51 @@ class TestWeightedSample:
             {"doc_id": [1, 2], "weight": [1.0, 0.0]}))
         with pytest.raises(Exception, match="weight must be > 0"):
             weighted_sample(ds, "weight", 1).to_pandas()
+
+
+class TestCorpusMix:
+    def test_quota_draw_matches_bruteforce(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        ids = list(range(300))
+        groups = ["g" + str(i % 4) for i in ids]  # g3 not in targets
+        targets = {"g0": 0.4, "g1": 0.3, "g2": 0.1}
+        quotas = {g: int(f * 100) for g, f in targets.items()}
+        expect = set()
+        for g, q in quotas.items():
+            members = sorted(
+                (hashlib.md5(str(i).encode()).hexdigest(), i)
+                for i, gr in zip(ids, groups) if gr == g)
+            expect |= {i for _, i in members[:q]}
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": ids, "grp": groups})).repartition(7)
+        got = corpus_mix(ds, "grp", targets, 100).to_pandas()
+        assert set(got.doc_id) == expect
+        assert set(got.grp) == set(targets)
+
+    def test_undersupplied_group_keeps_all(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2, 3], "grp": ["a", "a", "b"]}))
+        got = corpus_mix(ds, "grp", {"a": 0.9, "b": 0.1}, 100).to_pandas()
+        # quota a=90 > 2 available -> keep both; quota b=10 > 1 -> keep it
+        assert sorted(got.doc_id) == [1, 2, 3]
+
+    def test_bad_fractions_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "grp": ["a"]}))
+        with pytest.raises(ValueError, match="must be > 0"):
+            corpus_mix(ds, "grp", {"a": 0.0}, 10)
+        with pytest.raises(ValueError, match="sum to"):
+            corpus_mix(ds, "grp", {"a": 0.7, "b": 0.5}, 10)

@@ -134,3 +134,46 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
         .groupby(strat).map_groups(final_topk, batch_format="pandas")
+
+
+def corpus_mix(ds, group_col: str, targets: dict, total: int,
+               id_col: str = "doc_id"):
+    """Deterministic training-mix construction: draw a corpus of ~`total`
+    rows matching the target group proportions — quota_g = floor(f_g * total)
+    rows per group g, chosen as the quota_g lowest-md5(id) rows (the same
+    reproducible hash-rank draw as stratified_sample, so reruns and any
+    cluster shape build the IDENTICAL mix). Groups absent from `targets` are
+    dropped; a group with fewer rows than its quota keeps all (the mix
+    under-fills rather than re-weighting silently — the caller decides).
+    Fractions must be positive and sum to <= 1 (validated loudly).
+
+    Distributed shape: block-local per-group top-quota partials (the shuffle
+    moves at most sum(quota_g) x blocks slim rows), one groupby on the
+    group, final per-group head(quota)."""
+    for g, f in targets.items():
+        if not f > 0:
+            raise ValueError(f"corpus_mix: target fraction for {g!r} must "
+                             f"be > 0, got {f!r}")
+    if sum(targets.values()) > 1 + 1e-9:
+        raise ValueError(f"corpus_mix: target fractions sum to "
+                         f"{sum(targets.values())} > 1")
+    quotas = {g: int(f * total) for g, f in targets.items()}
+
+    def local_topq(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df[group_col].isin(quotas)]
+        if not len(df):
+            return pa.Table.from_pandas(df, preserve_index=False)
+        df["_rk"] = _md5_rank(df[id_col])
+        df = df.sort_values([group_col, "_rk"], kind="mergesort")
+        rn = df.groupby(group_col, sort=False).cumcount()
+        df = df[rn.values < df[group_col].map(quotas).values]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topq(group):
+        q = quotas[group[group_col].iloc[0]]
+        g = group.sort_values("_rk", kind="mergesort").head(q)
+        return g.drop(columns=["_rk"])
+
+    return ds.map_batches(local_topq, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final_topq, batch_format="pandas")
