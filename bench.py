@@ -434,6 +434,62 @@ def _suffix_tokens(i: int) -> str:
     return " ".join(f"u{i}w{k}" for k in range(30))
 
 
+def run_chunk_dedup_scale(sf_dir: str, num_cpus: int,
+                          n_docs: int = DEDUP_SCALE_DOCS) -> dict:
+    """chunk_dedup (cross-corpus duplicate-span removal) over the same
+    planted-pair scale corpus as --dedup-scale, heavy-hitter shuffle path
+    FORCED (broadcast_limit=0) — the shape that holds when the frequent-
+    chunk set exceeds a worker heap. Reports wall, docs/s and the removed-
+    chunk fraction (planted near-dup pairs share almost every 8-word block,
+    so removal must be strictly positive but far below 1)."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.compute as pc
+
+    from wikidata_edit_history_ray.stages.text_ops import chunk_dedup
+
+    os.makedirs("/tmp/widiff_cache", exist_ok=True)
+    path = _gen_dedup_corpus(f"/tmp/widiff_cache/dedup_scale_{n_docs}_v3",
+                             n_docs, sf_dir)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    t0 = time.time()
+    out = chunk_dedup(ds, chunk_words=8, min_docs=2, broadcast_limit=0)
+
+    def totals(batch):
+        import pyarrow as pa
+        return pa.table({
+            "removed": pa.array(
+                [pc.sum(batch.column("removed_chunks")).as_py() or 0]),
+            "total": pa.array(
+                [pc.sum(batch.column("total_chunks")).as_py() or 0]),
+            "rows": pa.array([batch.num_rows])})
+
+    agg = out.map_batches(totals, batch_format="pyarrow") \
+        .sum(["removed", "total", "rows"])
+    dt = time.time() - t0
+    removed, total_c, rows = (agg["sum(removed)"], agg["sum(total)"],
+                              agg["sum(rows)"])
+    return {
+        "metric": "chunk_dedup at corpus scale (forced shuffle path)",
+        "value": round(dt, 3), "unit": "sec",
+        "queries": {"chunk_dedup": round(dt, 3)},
+        "n_docs": n_docs, "rows_out": rows,
+        "removed_chunks": removed, "total_chunks": total_c,
+        "removed_frac": round(removed / total_c, 4),
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "sanity": {"rows_match_docs": rows == n_docs,
+                   "removal_positive": removed > 0,
+                   "removal_partial": removed < total_c},
+    }
+
+
 def run_dedup_scale(sf_dir: str, num_cpus: int,
                     n_docs: int = DEDUP_SCALE_DOCS) -> dict:
     import ray
@@ -529,6 +585,13 @@ def main():
     if args and args[0] == "--dedup-scale":
         n = int(args[1]) if len(args) > 1 else DEDUP_SCALE_DOCS
         print(json.dumps(run_dedup_scale(SF_DIR, NUM_CPUS, n)))
+        import ray
+
+        ray.shutdown()
+        return
+    if args and args[0] == "--chunk-dedup-scale":
+        n = int(args[1]) if len(args) > 1 else DEDUP_SCALE_DOCS
+        print(json.dumps(run_chunk_dedup_scale(SF_DIR, NUM_CPUS, n)))
         import ray
 
         ray.shutdown()
