@@ -1146,6 +1146,21 @@ def _q_corpus_mix(sf_dir: str):
     return corpus_mix(ds, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, 200)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bounded semantic dedup — a
+    vector is duplicate iff a lower-id same-cluster vector has cosine
+    above 0.3 (stages/similarity.semdedup). Assignment streams against the
+    broadcast centroid matrix; one cluster groupby bounds the quadratic
+    scan. Decision on round(cos, 6) both sides."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.similarity import semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1220,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "weighted_sample": _q_weighted_sample,
         "corpus_mix": _q_corpus_mix,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -2019,5 +2035,45 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE rn <= CASE lang WHEN 'en' THEN 100
                                   WHEN 'de' THEN 60
                                   ELSE 40 END
+        """,
+        "semdedup": """
+            WITH c AS (
+              SELECT embedding AS cvec,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            a AS (
+              SELECT e.vec_id, c.cl,
+                     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                         x -> (CAST(x[1] AS DOUBLE)
+                               - CAST(x[2] AS DOUBLE)) ** 2)) AS dist
+              FROM embeddings e CROSS JOIN c
+            ),
+            asg AS (
+              SELECT vec_id, cl AS cluster FROM a
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cl) = 1
+            ),
+            n AS (
+              SELECT e.vec_id, s.cluster, e.embedding,
+                     sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) ** 2))) AS nrm
+              FROM embeddings e JOIN asg s USING (vec_id)
+            ),
+            p AS (
+              SELECT a2.vec_id,
+                     max(CASE WHEN ROUND(
+                            list_sum(list_transform(
+                                list_zip(a2.embedding, b.embedding),
+                                x -> CAST(x[1] AS DOUBLE)
+                                     * CAST(x[2] AS DOUBLE)))
+                            / (a2.nrm * b.nrm), 6) > 0.3
+                          THEN 1 ELSE 0 END) AS is_dup
+              FROM n a2 JOIN n b ON a2.cluster = b.cluster
+                                AND b.vec_id < a2.vec_id
+              GROUP BY a2.vec_id)
+            SELECT n.vec_id, n.cluster,
+                   CAST(COALESCE(p.is_dup, 0) AS BIGINT) AS is_dup
+            FROM n LEFT JOIN p USING (vec_id)
         """,
     }

@@ -35,6 +35,7 @@ SUBSET = [
     "chunk_dedup",
     "weighted_sample",
     "corpus_mix",
+    "semdedup",
 ]
 
 

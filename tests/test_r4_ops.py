@@ -326,3 +326,60 @@ class TestCorpusMix:
             corpus_mix(ds, "grp", {"a": 0.0}, 10)
         with pytest.raises(ValueError, match="sum to"):
             corpus_mix(ds, "grp", {"a": 0.7, "b": 0.5}, 10)
+
+
+class TestSemDedup:
+    def test_matches_bruteforce(self, ray_session):
+        """Planted tight cliques: cluster + within-cluster lower-id cosine
+        scan vs a brute-force reference, across blocks."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.similarity import semdedup
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(6, 16)
+        vecs, ids = [], []
+        for i in range(90):
+            b = base[i % 6]
+            # planted near-dups: every third vector is a tiny perturbation
+            v = b + (0.01 if i % 3 == 0 else 0.8) * rng.randn(16)
+            vecs.append(v.tolist())
+            ids.append(i)
+
+        X = np.array(vecs)
+        order = np.argsort(ids)
+        C = X[order[:4]]
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        n = X / np.linalg.norm(X, axis=1, keepdims=True)
+        expect = {}
+        for c in set(a):
+            m = np.where(a == c)[0]
+            S = np.round(n[m] @ n[m].T, 6)
+            for pos, i in enumerate(m):
+                expect[i] = int((S[pos, :pos] > 0.9).any())
+
+        ds = ray.data.from_arrow(pa.table(
+            {"vec_id": ids,
+             "embedding": pa.array(vecs, type=pa.list_(pa.float64()))}),
+            override_num_blocks=5)
+        res = semdedup(ds, k=4, threshold=0.9).to_pandas()
+        got = dict(zip(res.vec_id, res.is_dup))
+        assert got == expect
+        assert res.is_dup.sum() > 0 and res.is_dup.sum() < len(res)
+
+    def test_exemplar_never_dup(self, ray_session):
+        """The lowest id of every cluster is by construction kept."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.similarity import semdedup
+
+        vecs = [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0], [0.001, 1.0]]
+        ds = ray.data.from_arrow(pa.table(
+            {"vec_id": [10, 11, 20, 21],
+             "embedding": pa.array(vecs, type=pa.list_(pa.float64()))}))
+        res = semdedup(ds, k=2, threshold=0.99).to_pandas() \
+            .sort_values("vec_id")
+        per_cluster_min = res.groupby("cluster").vec_id.min()
+        kept = res[res.is_dup == 0].vec_id
+        assert set(per_cluster_min).issubset(set(kept))

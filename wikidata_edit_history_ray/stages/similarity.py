@@ -268,3 +268,67 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
         C = C.copy()
         C[nz] = sums[nz] / counts[nz, None]
     return C
+
+
+def semdedup(ds, k: int = 8, threshold: float = 0.9,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids=None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    bounds the quadratic pair comparison by k-means clustering — a vector is
+    a semantic duplicate iff some LOWER-id vector in the SAME cluster has
+    cosine similarity above `threshold` (the paper keeps one exemplar per
+    tight semantic clique; lowest-id is the deterministic, SQL-restatable
+    exemplar rule) -> Dataset of (id_col, cluster, is_dup 0/1).
+
+    The cosine DECISION is taken on round(cos, 6) > threshold on both the
+    engine and oracle sides: cos = dot / (|a| |b|) sums in different orders
+    (numpy pairwise vs SQL sequential), so the raw doubles can differ by
+    ~1 ulp; 6-decimal rounding makes the branch identical except when a pair
+    sits within ~1e-12 of a rounding boundary (same convention as the
+    kmeans_assign dist comparison).
+
+    100-TB shape: the assignment pass streams (no shuffle, broadcast
+    centroid matrix); then ONE groupby shuffle on the cluster id and a
+    vectorized per-cluster normalized-matmul upper-triangle scan. Choose k
+    proportional to corpus size (SemDeDup uses ~100k clusters at
+    LAION scale) so a cluster — the only quadratic unit — fits a worker
+    heap; skewed clusters are the operator's documented limit, mitigated by
+    raising k."""
+    if centroids is None:
+        centroids = _k_lowest_id_vectors(ds, k, vec_col, id_col)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign_with_vec(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if batch.num_rows == 0:
+            return pa.table({id_col: ids,
+                             "cluster": pa.array([], type=pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        X = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: ids,
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            vec_col: batch.column(vec_col)})
+
+    def cluster_scan(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        order = np.argsort(np.asarray(ids))
+        X = np.array(group.column(vec_col).to_pylist(),
+                     dtype=np.float64)[order]
+        ids_sorted = [ids[i] for i in order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        # dup[i] = any lower-id j with S[j, i] > threshold: strict upper
+        # triangle, reduced down the columns — no Python row loop
+        dup = np.triu(S > threshold, 1).any(axis=0).astype(np.int64)
+        id_type = group.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array(ids_sorted, type=id_type),
+            "cluster": pa.array(
+                [group.column("cluster")[0].as_py()] * len(X),
+                type=pa.int64()),
+            "is_dup": pa.array(dup)})
+
+    return ds.map_batches(assign_with_vec, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(cluster_scan, batch_format="pyarrow")
