@@ -328,6 +328,19 @@ class TestCorpusMix:
             corpus_mix(ds, "grp", {"a": 0.7, "b": 0.5}, 10)
 
 
+    def test_block_of_only_untargeted_groups(self, ray_session):
+        """A block whose every row is filtered out must still emit a
+        schema-stable (typed) empty table."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        t1 = pa.table({"doc_id": [1, 2, 3], "grp": ["zz"] * 3})
+        t2 = pa.table({"doc_id": [4, 5, 6], "grp": ["a", "a", "b"]})
+        ds = ray.data.from_arrow([t1, t2])
+        out = corpus_mix(ds, "grp", {"a": 0.5, "b": 0.5}, 4).to_pandas()
+        assert sorted(out.doc_id) == [4, 5, 6]
+
 class TestSemDedup:
     def test_matches_bruteforce(self, ray_session):
         """Planted tight cliques: cluster + within-cluster lower-id cosine
