@@ -1161,6 +1161,24 @@ def _q_semdedup(sf_dir: str):
     return semdedup(ds, k=8, threshold=0.3)
 
 
+def _q_dsir_logratio(sf_dir: str):
+    """DSIR (Xie et al. 2023) importance score vs a German-language target
+    slice: per-doc avg [ln p_target - ln p_corpus] under bag-of-words LMs
+    (stages/text_ops.dsir_logratio) — two vocabulary-sized count passes
+    broadcast, one streaming scored pass. Rounded to 6 (oracle AVG sums in
+    a different order)."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import dsir_logratio
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    tgt = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text", "lang"]) \
+        .filter(expr="lang == 'de'").drop_columns(["lang"])
+    return _round_cols(dsir_logratio(ds, tgt), ["dsir_logratio"], digits=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1236,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "corpus_mix": _q_corpus_mix,
         "semdedup": _q_semdedup,
+        "dsir_logratio": _q_dsir_logratio,
     }
 
 
@@ -2075,5 +2094,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT n.vec_id, n.cluster,
                    CAST(COALESCE(p.is_dup, 0) AS BIGINT) AS is_dup
             FROM n LEFT JOIN p USING (vec_id)
+        """,
+        "dsir_logratio": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS tok
+              FROM documents
+            ),
+            ttoks AS (
+              SELECT UNNEST(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS tok
+              FROM documents WHERE lang = 'de'
+            ),
+            cc AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM toks GROUP BY tok),
+            tcn AS (SELECT tok, COUNT(*)::DOUBLE AS c
+                    FROM ttoks GROUP BY tok),
+            tot AS (SELECT COUNT(*)::DOUBLE AS n FROM toks),
+            ttot AS (SELECT COUNT(*)::DOUBLE AS n FROM ttoks),
+            vv AS (SELECT COUNT(*)::DOUBLE AS v FROM cc)
+            SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(AVG(ln((COALESCE(x.c, 0) + 1)
+                                / ((SELECT n FROM ttot)
+                                   + (SELECT v FROM vv)))
+                             - ln(ccx.c / (SELECT n FROM tot))), 6)
+                       AS dsir_logratio
+            FROM toks t JOIN cc ccx USING (tok) LEFT JOIN tcn x USING (tok)
+            GROUP BY t.doc_id
         """,
     }

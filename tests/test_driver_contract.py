@@ -36,6 +36,7 @@ SUBSET = [
     "weighted_sample",
     "corpus_mix",
     "semdedup",
+    "dsir_logratio",
 ]
 
 

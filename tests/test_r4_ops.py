@@ -396,3 +396,44 @@ class TestSemDedup:
         per_cluster_min = res.groupby("cluster").vec_id.min()
         kept = res[res.is_dup == 0].vec_id
         assert set(per_cluster_min).issubset(set(kept))
+
+
+class TestDsirLogratio:
+    def test_matches_bruteforce(self, ray_session):
+        """Score == avg(ln p_target - ln p_corpus) with Laplace smoothing
+        over the corpus vocabulary; target-like docs score higher."""
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import dsir_logratio
+
+        corpus = {1: "cat dog cat", 2: "dog fish", 3: "quantum flux node",
+                  4: "cat quantum", 5: ""}
+        target = ["cat cat dog", "cat fish"]
+
+        cc = Counter(t for s in corpus.values() for t in s.split())
+        tc = Counter(t for s in target for t in s.split())
+        n_c, n_t, v = sum(cc.values()), sum(tc.values()), len(cc)
+        expect = {}
+        for d, s in corpus.items():
+            toks = s.split()
+            if not toks:
+                continue
+            acc = sum(math.log((tc.get(t, 0) + 1) / (n_t + v))
+                      - math.log(cc[t] / n_c) for t in toks)
+            expect[d] = (len(toks), round(acc / len(toks), 6))
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(corpus), "text": list(corpus.values())}),
+            override_num_blocks=3)
+        tgt = ray.data.from_arrow(pa.table(
+            {"doc_id": [91, 92], "text": target}))
+        res = dsir_logratio(ds, tgt).to_pandas()
+        got = {r.doc_id: (int(r.n_tokens), round(r.dsir_logratio, 6))
+               for r in res.itertuples()}
+        assert got == expect
+        # docs sharing target vocabulary outrank the target-disjoint doc
+        assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+        assert 5 not in got  # empty doc emits nothing

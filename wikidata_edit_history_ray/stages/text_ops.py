@@ -846,3 +846,89 @@ def chunk_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_batches(docs_tagged, batch_format="pyarrow") \
         .union(hit_pairs.map_batches(pairs_tagged, batch_format="pyarrow")) \
         .groupby("bucket").map_groups(bucket_rewrite, batch_format="pyarrow")
+
+
+# ---- DSIR importance scoring (target-domain data selection) ----
+
+def dsir_logratio(ds, target_ds, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) importance score: rank
+    general-corpus docs by how target-domain-like they are under bag-of-words
+    language models —
+        score(doc) = avg over tokens of [ ln p_target(tok) - ln p_corpus(tok) ]
+    with p_corpus(tok) = count_corpus(tok) / total_corpus (every scored token
+    exists in the corpus by construction) and p_target Laplace-smoothed over
+    the CORPUS vocabulary, p_target(tok) = (count_target(tok) + 1) /
+    (total_target + V_corpus), so unseen-in-target tokens penalize instead of
+    zeroing -> Dataset of (id_col, n_tokens, dsir_logratio). Empty docs emit
+    nothing. Raw doubles sum in document order on both engine and SQL sides
+    only after an AVG whose order differs — consumers compare ROUND'ed
+    (same convention as unigram_logprob).
+
+    100-TB shape — two vocabulary-sized statistics, then one streaming pass:
+    both LMs build from per-batch Counter partials (shuffle volume =
+    vocabulary x blocks, never corpus tokens; the target side is typically
+    tiny), broadcast as (token -> count) dicts built once per worker, and
+    the corpus streams through a single scored map_batches. No corpus-sized
+    shuffle."""
+    import math
+    from collections import Counter
+
+    from .distributed import _get_broadcast_dict, broadcast_dataset
+
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(_batch_tokens(batch.column(text_col)))
+        n = sum(c.values())
+        return pa.table({
+            "token": pa.array([_N_TOKENS_SENTINEL] + list(c.keys()),
+                              type=pa.string()),
+            "count": pa.array([n] + list(c.values()), type=pa.int64())})
+
+    def summed(counts_ds):
+        return broadcast_dataset(
+            counts_ds.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("token").sum("count")
+            .map_batches(lambda b: pa.table(
+                {"token": b.column("token"),
+                 "count": pc.cast(b.column("sum(count)"), pa.int64())}),
+                batch_format="pyarrow"))
+
+    corpus_refs = summed(ds)
+    target_refs = summed(target_ds)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap = _get_broadcast_dict(corpus_refs, "token", "count")
+        tmap = _get_broadcast_dict(target_refs, "token", "count")
+        n_corpus = float(cmap[_N_TOKENS_SENTINEL])
+        n_target = float(tmap.get(_N_TOKENS_SENTINEL, 0))
+        v_corpus = float(len(cmap) - 1)
+        denom_t = n_target + v_corpus
+        out_id, out_n, out_s = [], [], []
+        for d, txt in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = _VOCAB_RE.findall((txt or "").lower())
+            if not toks:
+                continue
+            acc = 0.0
+            for tok in toks:
+                cc = cmap.get(tok)
+                if cc is None:
+                    raise ValueError(
+                        f"dsir_logratio: token {tok!r} of doc {d!r} absent "
+                        f"from the corpus count pass — non-deterministic "
+                        f"upstream lineage; materialize the input first")
+                tc = tmap.get(tok, 0)
+                acc += (math.log((tc + 1) / denom_t)
+                        - math.log(cc / n_corpus))
+            out_id.append(d)
+            out_n.append(len(toks))
+            out_s.append(acc / len(toks))
+        return pa.table({
+            id_col: pa.array(out_id, type=id_type),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "dsir_logratio": pa.array(out_s, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
