@@ -490,6 +490,79 @@ def run_chunk_dedup_scale(sf_dir: str, num_cpus: int,
     }
 
 
+def run_semdedup_scale(sf_dir: str, num_cpus: int,
+                       n_vecs: int = 1_000_000, k: int = 256) -> dict:
+    """SemDeDup at embedding-corpus scale: deterministic synthetic
+    (n_vecs, 64) float table with 5% planted EXACT-copy duplicates (a copy
+    shares its base's assignment bit-for-bit — identical d2 argmin — and
+    cosine exactly 1.0, so the flagged count is ANALYTIC: n_vecs/20; random
+    64-dim gaussian pairs sit at |cos| ~ 0.1, far under the 0.9 threshold).
+    k=256 clusters keep the per-cluster quadratic unit at ~n/k rows — the
+    knob the operator documents for 100-TB corpora."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wikidata_edit_history_ray.stages.similarity import semdedup
+
+    path = f"/tmp/widiff_cache/semdedup_scale_{n_vecs}_v1"
+    if not os.path.isdir(path):
+        os.makedirs(path, exist_ok=True)
+        rng = np.random.RandomState(11)
+        n_dup = n_vecs // 20
+        shard = 125_000
+        written = 0
+        base_pool = []  # ids eligible to be copied (first shard's rows)
+        for si in range(0, n_vecs, shard):
+            m = min(shard, n_vecs - si)
+            X = rng.randn(m, 64)
+            ids = np.arange(si, si + m, dtype=np.int64)
+            pq.write_table(pa.table({
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(list(X),
+                                      type=pa.list_(pa.float64()))}),
+                f"{path}/part-{si//shard:04d}.parquet")
+            written += m
+            if si == 0:
+                base_pool = X[:n_dup].copy()
+        # rewrite the LAST n_dup rows as exact copies of the first n_dup
+        # vectors (higher id -> the copy, not the base, is flagged)
+        last_start = ((n_vecs - 1) // shard) * shard
+        t = pq.read_table(f"{path}/part-{last_start//shard:04d}.parquet")
+        ids = t.column("vec_id").to_pylist()
+        X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        for j, gid in enumerate(ids):
+            if gid >= n_vecs - n_dup:
+                X[j] = base_pool[gid - (n_vecs - n_dup)]
+        pq.write_table(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}),
+            f"{path}/part-{last_start//shard:04d}.parquet")
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    t0 = time.time()
+    out = semdedup(ds, k=k, threshold=0.9)
+    flagged = out.sum("is_dup")
+    dt = time.time() - t0
+    expect = n_vecs // 20
+    return {
+        "metric": "semdedup at embedding-corpus scale",
+        "value": round(dt, 3), "unit": "sec",
+        "queries": {"semdedup": round(dt, 3)},
+        "n_vecs": n_vecs, "k_clusters": k,
+        "flagged": flagged, "expected_flagged": expect,
+        "analytic_match": flagged == expect,
+        "num_cpus": num_cpus,
+        "vecs_per_sec": round(n_vecs / dt, 1),
+    }
+
+
 def run_dedup_scale(sf_dir: str, num_cpus: int,
                     n_docs: int = DEDUP_SCALE_DOCS) -> dict:
     import ray
@@ -592,6 +665,13 @@ def main():
     if args and args[0] == "--chunk-dedup-scale":
         n = int(args[1]) if len(args) > 1 else DEDUP_SCALE_DOCS
         print(json.dumps(run_chunk_dedup_scale(SF_DIR, NUM_CPUS, n)))
+        import ray
+
+        ray.shutdown()
+        return
+    if args and args[0] == "--semdedup-scale":
+        n = int(args[1]) if len(args) > 1 else 1_000_000
+        print(json.dumps(run_semdedup_scale(SF_DIR, NUM_CPUS, n)))
         import ray
 
         ray.shutdown()
