@@ -1124,8 +1124,8 @@ def _q_weighted_sample(sf_dir: str):
         import pyarrow as _pa
         import pyarrow.compute as _pc
         return b.append_column(
-            "weight", _pc.cast(_pc.add(_pc.utf8_length(b.column("text")), 1),
-                               _pa.float64()))
+            "weight", _pc.cast(_pc.add(_pc.utf8_length(
+                _pc.fill_null(b.column("text"), "")), 1), _pa.float64()))
 
     ds = ds.map_batches(add_w, batch_format="pyarrow").drop_columns(["text"])
     return weighted_sample(ds, "weight", 25, stratum_col="lang") \
@@ -2005,8 +2005,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "chunk_dedup": """
             WITH w AS (
               SELECT doc_id,
-                     unnest(string_split(text, ' ')) AS word,
-                     generate_subscripts(string_split(text, ' '), 1) AS ord
+                     unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                     generate_subscripts(string_split(coalesce(text, ''),
+                                                      ' '), 1) AS ord
               FROM documents
             ), ch AS (
               SELECT doc_id, CAST(floor((ord - 1) / 3) AS BIGINT)
@@ -2040,7 +2041,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                 md5(CAST(doc_id AS VARCHAR)), 1, 15))
                               AS BIGINT) + 0.5)
                              / 1152921504606846976.0 AS u,
-                           CAST(length(text) + 1 AS DOUBLE) AS w
+                           CAST(length(coalesce(text, '')) + 1 AS DOUBLE)
+                               AS w
                     FROM documents))
             WHERE rn <= 25
         """,

@@ -511,12 +511,20 @@ def run_semdedup_scale(sf_dir: str, num_cpus: int,
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from wikidata_edit_history_ray.stages.similarity import semdedup
 
+    shard = 125_000
+    n_dup = n_vecs // 20
+    # the planted copies live in the FINAL shard and their bases in the
+    # FIRST — sizes outside these bounds would silently break the analytic
+    # flagged count (copies never written) or IndexError mid-generation
+    if n_vecs % shard != 0 or n_dup > shard:
+        raise ValueError(
+            f"--semdedup-scale n_vecs must be a multiple of {shard} and "
+            f"<= {shard * 20} (n_dup {n_dup} must fit one shard), "
+            f"got {n_vecs}")
     path = f"/tmp/widiff_cache/semdedup_scale_{n_vecs}_v1"
     if not os.path.isdir(path):
         os.makedirs(path, exist_ok=True)
         rng = np.random.RandomState(11)
-        n_dup = n_vecs // 20
-        shard = 125_000
         written = 0
         base_pool = []  # ids eligible to be copied (first shard's rows)
         for si in range(0, n_vecs, shard):

@@ -437,3 +437,67 @@ class TestDsirLogratio:
         # docs sharing target vocabulary outrank the target-disjoint doc
         assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
         assert 5 not in got  # empty doc emits nothing
+
+
+class TestReviewFixesR4:
+    """Regression pins for the round-4 review findings: tokenizer-lowering
+    consistency, NULL-text parity, quota floor arithmetic, schema-stable
+    empty outputs, bench-generator bounds."""
+
+    def test_scorers_survive_special_casing_unicode(self, ray_session):
+        """U+0130 lowers differently under Arrow utf8_lower vs Python
+        str.lower(); the scorers must tokenize exactly like the count pass
+        (previously raised 'absent from the count pass')."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import (dsir_logratio,
+                                                               unigram_logprob)
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2], "text": ["AİB hello", "plain text"]}))
+        assert len(unigram_logprob(ds).to_pandas()) == 2
+        assert len(dsir_logratio(ds, ds).to_pandas()) == 2
+
+    def test_chunk_dedup_null_text_row_kept(self, ray_session):
+        """A NULL text chunks as [''] (one empty chunk) and the doc stays in
+        the output — matching the oracle's coalesce(text, '')."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import chunk_dedup
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "text": pa.array(["a b c", None, "a b c x"],
+                                       type=pa.string())})
+        out = chunk_dedup(ray.data.from_arrow(t), chunk_words=3, min_docs=2) \
+            .to_pandas().set_index("doc_id")
+        assert len(out) == 3
+        assert out.loc[2].total_chunks == 1  # the single '' chunk
+
+    def test_corpus_mix_quota_floor_not_float_floor(self, ray_session):
+        """int(0.29 * 100) is 28 in floats; the quota must be 29."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(range(200)), "grp": ["a"] * 200}))
+        assert corpus_mix(ds, "grp", {"a": 0.29}, 100).count() == 29
+
+    def test_corpus_mix_all_dropped_keeps_schema(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import corpus_mix
+
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2], "grp": ["zz", "zz"]}))
+        out = corpus_mix(ds, "grp", {"a": 0.5}, 4)
+        assert out.schema().names == ["doc_id", "grp"]
+        assert out.select_columns(["doc_id"]).count() == 0
+
+    def test_semdedup_scale_bounds_rejected(self):
+        from bench import run_semdedup_scale
+
+        with pytest.raises(ValueError, match="multiple of"):
+            run_semdedup_scale("/root/testdata/sf0.01", 4, n_vecs=1_050_000)
+        with pytest.raises(ValueError, match="must fit one shard"):
+            run_semdedup_scale("/root/testdata/sf0.01", 4, n_vecs=3_000_000)

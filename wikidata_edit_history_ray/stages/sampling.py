@@ -157,23 +157,42 @@ def corpus_mix(ds, group_col: str, targets: dict, total: int,
     if sum(targets.values()) > 1 + 1e-9:
         raise ValueError(f"corpus_mix: target fractions sum to "
                          f"{sum(targets.values())} > 1")
-    quotas = {g: int(f * total) for g, f in targets.items()}
+    # round at the 9th decimal before flooring: 0.29 * 100 is
+    # 28.999999999999996 in floats and a bare int() silently under-fills
+    # the quota the docstring promises (floor of the REAL product)
+    quotas = {g: int(round(f * total, 9)) for g, f in targets.items()}
+
+    def _out_schema(in_schema: pa.Schema) -> pa.Schema:
+        return in_schema.append(pa.field("_rk", pa.string()))
 
     def local_topq(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df[group_col].isin(quotas)]
         if not len(df):
-            return pa.Table.from_pandas(df, preserve_index=False)
+            # a typed empty table — from_pandas on an all-filtered frame
+            # types string columns as null and the block schemas diverge
+            return _out_schema(batch.schema).empty_table()
         df["_rk"] = _md5_rank(df[id_col])
         df = df.sort_values([group_col, "_rk"], kind="mergesort")
         rn = df.groupby(group_col, sort=False).cumcount()
         df = df[rn.values < df[group_col].map(quotas).values]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(_out_schema(batch.schema))
 
     def final_topq(group):
         q = quotas[group[group_col].iloc[0]]
         g = group.sort_values("_rk", kind="mergesort").head(q)
         return g.drop(columns=["_rk"])
 
-    return ds.map_batches(local_topq, batch_format="pyarrow") \
+    out = ds.map_batches(local_topq, batch_format="pyarrow") \
         .groupby(group_col).map_groups(final_topq, batch_format="pandas")
+    # when NO row matches any targeted group the groupby emits zero blocks
+    # and the dataset loses its schema entirely (downstream select_columns
+    # crashes) — union one typed empty block so an all-dropped mix still
+    # carries (id, group, ...) types; the schema is known statically
+    import ray.data
+
+    schema = ds.schema()
+    empty = ray.data.from_arrow(
+        pa.schema(list(zip(schema.names, schema.types))).empty_table())
+    return out.union(empty)

@@ -524,6 +524,40 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
 _N_TOKENS_SENTINEL = "\x00n_tokens"
 
 
+def _doc_tokens(texts) -> list:
+    """Per-doc token lists under the SAME lowering as _batch_tokens (Arrow
+    utf8_lower) — a scorer that lowers with Python str.lower() would tokenize
+    some non-ASCII text differently (e.g. U+0130: Arrow 'aib' vs Python
+    'ai\u0307b' -> 'ai','b') and then miss tokens the count pass recorded."""
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    return [_VOCAB_RE.findall(t) for t in lowered.to_pylist()]
+
+
+def _token_count_refs(ds, text_col: str):
+    """Broadcast handle for the corpus (token, count) table with the
+    total-token count riding as the _N_TOKENS_SENTINEL pseudo-token —
+    the statistic both unigram_logprob and dsir_logratio stream against."""
+    from collections import Counter
+
+    from .distributed import broadcast_dataset
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(_batch_tokens(batch.column(text_col)))
+        n = sum(c.values())
+        return pa.table({
+            "token": pa.array([_N_TOKENS_SENTINEL] + list(c.keys()),
+                              type=pa.string()),
+            "count": pa.array([n] + list(c.values()), type=pa.int64())})
+
+    count_ds = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").sum("count")
+    return broadcast_dataset(count_ds.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "count": pc.cast(b.column("sum(count)"),
+                                             pa.int64())}),
+        batch_format="pyarrow"))
+
+
 def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc mean log-likelihood under the corpus's OWN unigram model —
     the KenLM-style quality-filter signal (CCNet/LLaMA data pipelines score
@@ -542,36 +576,19 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     BROADCAST (block refs, dict once per worker); pass 2 streams the corpus
     once, scoring inside the batch with libm ln. No corpus-sized shuffle."""
     import math
-    from collections import Counter
 
-    from .distributed import _get_broadcast_dict, broadcast_dataset
+    from .distributed import _get_broadcast_dict
 
     schema = ds.schema()
     id_type = schema.types[schema.names.index(id_col)]
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        c = Counter(_batch_tokens(batch.column(text_col)))
-        n = sum(c.values())
-        return pa.table({
-            "token": pa.array([_N_TOKENS_SENTINEL] + list(c.keys()),
-                              type=pa.string()),
-            "count": pa.array([n] + list(c.values()), type=pa.int64())})
-
-    count_ds = ds.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby("token").sum("count")
-    count_refs = broadcast_dataset(count_ds.map_batches(
-        lambda b: pa.table({"token": b.column("token"),
-                            "count": pc.cast(b.column("sum(count)"),
-                                             pa.int64())}),
-        batch_format="pyarrow"))
+    count_refs = _token_count_refs(ds, text_col)
 
     def score(batch: pa.Table) -> pa.Table:
         cmap = _get_broadcast_dict(count_refs, "token", "count")
         n_total = float(cmap[_N_TOKENS_SENTINEL])
         out_id, out_n, out_lp = [], [], []
-        for d, txt in zip(batch.column(id_col).to_pylist(),
-                          batch.column(text_col).to_pylist()):
-            toks = _VOCAB_RE.findall((txt or "").lower())
+        for d, toks in zip(batch.column(id_col).to_pylist(),
+                           _doc_tokens(batch.column(text_col))):
             if not toks:
                 continue
             acc = 0.0
@@ -872,32 +889,13 @@ def dsir_logratio(ds, target_ds, text_col: str = "text",
     the corpus streams through a single scored map_batches. No corpus-sized
     shuffle."""
     import math
-    from collections import Counter
 
-    from .distributed import _get_broadcast_dict, broadcast_dataset
+    from .distributed import _get_broadcast_dict
 
     schema = ds.schema()
     id_type = schema.types[schema.names.index(id_col)]
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        c = Counter(_batch_tokens(batch.column(text_col)))
-        n = sum(c.values())
-        return pa.table({
-            "token": pa.array([_N_TOKENS_SENTINEL] + list(c.keys()),
-                              type=pa.string()),
-            "count": pa.array([n] + list(c.values()), type=pa.int64())})
-
-    def summed(counts_ds):
-        return broadcast_dataset(
-            counts_ds.map_batches(partial_counts, batch_format="pyarrow")
-            .groupby("token").sum("count")
-            .map_batches(lambda b: pa.table(
-                {"token": b.column("token"),
-                 "count": pc.cast(b.column("sum(count)"), pa.int64())}),
-                batch_format="pyarrow"))
-
-    corpus_refs = summed(ds)
-    target_refs = summed(target_ds)
+    corpus_refs = _token_count_refs(ds, text_col)
+    target_refs = _token_count_refs(target_ds, text_col)
 
     def score(batch: pa.Table) -> pa.Table:
         cmap = _get_broadcast_dict(corpus_refs, "token", "count")
@@ -907,9 +905,8 @@ def dsir_logratio(ds, target_ds, text_col: str = "text",
         v_corpus = float(len(cmap) - 1)
         denom_t = n_target + v_corpus
         out_id, out_n, out_s = [], [], []
-        for d, txt in zip(batch.column(id_col).to_pylist(),
-                          batch.column(text_col).to_pylist()):
-            toks = _VOCAB_RE.findall((txt or "").lower())
+        for d, toks in zip(batch.column(id_col).to_pylist(),
+                           _doc_tokens(batch.column(text_col))):
             if not toks:
                 continue
             acc = 0.0
