@@ -1179,6 +1179,19 @@ def _q_dsir_logratio(sf_dir: str):
     return _round_cols(dsir_logratio(ds, tgt), ["dsir_logratio"], digits=6)
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic global training order: epoch_pos = rank of
+    md5(seed:id) with id tie-break (stages/sampling.epoch_shuffle) —
+    range-partitioned prefix count, slim (h, id) rows only."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.sampling import epoch_shuffle
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return epoch_shuffle(ds, seed=0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1255,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "semdedup": _q_semdedup,
         "dsir_logratio": _q_dsir_logratio,
+        "epoch_shuffle": _q_epoch_shuffle,
     }
 
 
@@ -2123,5 +2137,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        AS dsir_logratio
             FROM toks t JOIN cc ccx USING (tok) LEFT JOIN tcn x USING (tok)
             GROUP BY t.doc_id
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS epoch_pos
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(
+                              md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h
+                  FROM documents)
         """,
     }

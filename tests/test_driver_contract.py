@@ -37,6 +37,7 @@ SUBSET = [
     "corpus_mix",
     "semdedup",
     "dsir_logratio",
+    "epoch_shuffle",
 ]
 
 

@@ -501,3 +501,32 @@ class TestReviewFixesR4:
             run_semdedup_scale("/root/testdata/sf0.01", 4, n_vecs=1_050_000)
         with pytest.raises(ValueError, match="must fit one shard"):
             run_semdedup_scale("/root/testdata/sf0.01", 4, n_vecs=3_000_000)
+
+
+class TestEpochShuffle:
+    def test_exact_permutation_matches_bruteforce(self, ray_session):
+        """Positions are the md5-rank permutation, exact across ranges and
+        blocks; a different seed permutes differently; string ids work."""
+        import hashlib
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import epoch_shuffle
+
+        ids = ["d%03d" % i for i in range(137)]
+
+        def brute(seed):
+            keyed = sorted(
+                (int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15],
+                     16), v) for v in ids)
+            return {v: i for i, (_, v) in enumerate(keyed)}
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids}),
+                                 override_num_blocks=6)
+        got0 = dict(zip(*[epoch_shuffle(ds, seed=0).to_pandas()[c]
+                          for c in ("doc_id", "epoch_pos")]))
+        assert got0 == brute(0)
+        got7 = dict(zip(*[epoch_shuffle(ds, seed=7).to_pandas()[c]
+                          for c in ("doc_id", "epoch_pos")]))
+        assert got7 == brute(7)
+        assert got0 != got7  # a new seed is a new epoch order

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -196,3 +197,64 @@ def corpus_mix(ds, group_col: str, targets: dict, total: int,
     empty = ray.data.from_arrow(
         pa.schema(list(zip(schema.names, schema.types))).empty_table())
     return out.union(empty)
+
+
+def epoch_shuffle(ds, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic global training order (the 'epoch shuffle' every
+    pretraining run needs): epoch_pos = rank of h(id) where
+        h = int(md5(f"{seed}:{id}")[:15 hex], 16)
+    -> Dataset of (id_col, epoch_pos), 0-based, a permutation that is a pure
+    function of (seed, id) — reruns, resumes and any cluster shape produce
+    the identical order, a new seed produces a fresh epoch, and a SQL
+    ROW_NUMBER window oracles it. Ties (60-bit h collisions — expected at
+    trillion-doc scale) break on the id, so the order is total on both
+    sides.
+
+    Distributed shape — a global ordered prefix COUNT, the same three-pass
+    pattern as pack_sequences' prefix sum: range-partition on h (md5 is
+    uniform, so ranges balance by construction), ONE tiny per-range count
+    aggregate -> driver running offsets (B rows, bytes), then per-range
+    sort + local arange + broadcast offset. Only slim (h, id) rows move;
+    the documents themselves never shuffle — consumers join or gather on
+    the id."""
+    import ray.data
+
+    from .distributed import default_reduce_buckets
+
+    num_ranges = default_reduce_buckets()
+    scale = num_ranges / float(1 << 60)  # h is uniform in [0, 16^15)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+              for v in ids]
+        rng = np.clip((np.array(hs, dtype=np.float64) * scale).astype(
+            np.int64), 0, num_ranges - 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_h": pa.array(hs, type=pa.int64()),
+            "_range": pa.array(rng, type=pa.int64())})
+
+    tagged = ds.select_columns([id_col]) \
+        .map_batches(add_rank, batch_format="pyarrow").materialize()
+
+    counts = {int(r["_range"]): int(r["count()"]) for r in
+              tagged.groupby("_range").count().take_all()}
+    offsets, acc = {}, 0
+    for r in range(num_ranges):
+        offsets[r] = acc
+        acc += counts.get(r, 0)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[("_h", "ascending"),
+                                                  (id_col, "ascending")])
+        g = group.take(order)
+        start = offsets[int(g.column("_range")[0].as_py())]
+        pos = np.arange(start, start + g.num_rows, dtype=np.int64)
+        return pa.table({id_col: g.column(id_col),
+                         "epoch_pos": pa.array(pos)})
+
+    return tagged.groupby("_range").map_groups(finalize,
+                                               batch_format="pyarrow")
