@@ -37,6 +37,8 @@ HEADLINE_QUERIES = [
     "knn_topk",
     "events_type_stats",
     "lineitem_pricing_summary",
+    "chunk_dedup",
+    "semdedup",
 ]
 
 
