@@ -530,3 +530,52 @@ class TestEpochShuffle:
                           for c in ("doc_id", "epoch_pos")]))
         assert got7 == brute(7)
         assert got0 != got7  # a new seed is a new epoch order
+
+    def test_kmeans_fewer_vectors_than_k(self, ray_session):
+        """k degrades to n when the dataset is smaller than k; empty input
+        raises loudly instead of a broadcast-shape IndexError."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.similarity import (kmeans_assign,
+                                                                 kmeans_fit)
+
+        vecs = [[0.0, 0.0], [10.0, 10.0], [0.1, 0.1]]
+        ds = ray.data.from_arrow(pa.table(
+            {"vec_id": [1, 2, 3],
+             "embedding": pa.array(vecs, type=pa.list_(pa.float64()))}))
+        C = kmeans_fit(ds, k=8, iters=2)
+        assert C.shape == (3, 2)
+        res = kmeans_assign(ds, k=8).to_pandas()
+        assert len(res) == 3
+
+        empty = ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], type=pa.int64()),
+             "embedding": pa.array([], type=pa.list_(pa.float64()))}))
+        with pytest.raises(ValueError, match="at least one vector"):
+            kmeans_fit(empty, k=2)
+
+    def test_sessionize_null_keys_one_partition(self, ray_session):
+        """NULL keys form ONE partition (SQL PARTITION BY semantics) even
+        when pandas surfaces the null-padded int column as float NaN."""
+        import datetime as dt
+
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.windows import sessionize
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "user_id": pa.array([None, None, None, 7], type=pa.int64()),
+            "ts": pa.array([base,
+                            base + dt.timedelta(seconds=10000),
+                            base + dt.timedelta(seconds=10100),
+                            base], type=pa.timestamp("us")),
+        })
+        out = sessionize(ray.data.from_arrow(t), "user_id", "ts", 1800.0,
+                         id_col="event_id").to_pandas() \
+            .set_index("event_id").session_id
+        # events 1..3 share the NULL partition: 10000s gap starts session 2,
+        # the 100s gap does not
+        assert out.loc[1] == 1 and out.loc[2] == 2 and out.loc[3] == 2
+        assert out.loc[4] == 1

@@ -29,14 +29,13 @@ composition is the SURVEY §9.1 training-data surface exercised as one job.
 """
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.dedup_ops import exact_dedup, near_dup_canonical_filter
 from ..stages.packing import pack_sequences
 from ..stages.sampling import hash_split
-from ..stages.text_ops import _VOCAB_RE, decontaminate_filter
+from ..stages.text_ops import decontaminate_filter
 
 
 def quality_gate(ds, text_col: str = "text", min_tokens: int = 20,
@@ -47,19 +46,16 @@ def quality_gate(ds, text_col: str = "text", min_tokens: int = 20,
     'ws_token_count' column the packing stage consumes. Pure per-doc batch
     kernel — zero shuffle."""
 
+    from ..stages.text_ops import bigram_rep_arrays
+
     def gate(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch.column(text_col), "")
         ws = pc.cast(pc.count_substring_regex(texts, pattern=r"\S+"),
                      pa.int64())
         wsv = ws.to_numpy(zero_copy_only=False)
-        rep = np.zeros(batch.num_rows, dtype=np.float64)
-        for i, txt in enumerate(texts.to_pylist()):
-            toks = _VOCAB_RE.findall(txt.lower())
-            nb = len(toks) - 1
-            if nb <= 0:
-                continue
-            distinct = len({(toks[j], toks[j + 1]) for j in range(nb)})
-            rep[i] = 1.0 - distinct / nb
+        # the SAME kernel as repetition_stats — the gate and the standalone
+        # operator (and its SQL oracle) cannot drift apart
+        _, _, rep = bigram_rep_arrays(texts.to_pylist())
         keep = pa.array((wsv >= min_tokens) & (rep <= max_rep_ratio))
         return batch.append_column("ws_token_count", ws).filter(keep)
 

@@ -370,8 +370,17 @@ def partition_entity_labels(labels, out_dir: str, buckets: int = 32) -> str:
             "label": pa.array(g["label"], type=pa.string()),
             "description": pa.array(g["description"], type=pa.string()),
         })
-        pq.write_table(t, f"{wbase.rstrip('/')}/labels-{b:05d}.parquet",
-                       filesystem=wfs)
+        # write-then-rename: a worker declared lost mid-write can still be
+        # flushing when Ray re-executes the task — two writers interleaving
+        # on the FINAL path would leave a corrupt bucket that a "successful"
+        # run then serves. Each attempt writes its own unique tmp name and
+        # the rename (atomic on local/NFS, last-writer-wins elsewhere)
+        # publishes only complete files. The run-unique directory protects
+        # against stale PREVIOUS runs; this protects within-run retries.
+        final = f"{wbase.rstrip('/')}/labels-{b:05d}.parquet"
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(t, tmp, filesystem=wfs)
+        wfs.move(tmp, final)
         return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
 
     # materialize the tiny per-bucket manifest — this is what runs the writes

@@ -201,6 +201,13 @@ def _k_lowest_id_vectors(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
 
     cand = ds.map_batches(local_mink, batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: r[id_col])
+    if not cand:
+        raise ValueError(
+            "k-means centroid seeding needs at least one vector; the input "
+            "dataset is empty")
+    # fewer vectors than k: every vector is its own centroid (standard
+    # k-means degeneracy) — callers must size cluster arrays to len(C),
+    # not the requested k
     return np.array([r[vec_col] for r in cand[:k]], dtype=np.float64)
 
 
@@ -273,6 +280,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
     k x blocks tiny partials (bytes, not data). The corpus never shuffles;
     iteration count bounds total passes."""
     C = _k_lowest_id_vectors(ds, k, vec_col, id_col)
+    k = len(C)  # fewer vectors than requested clusters: k degrades to n
     d = C.shape[1]
 
     for _ in range(iters):

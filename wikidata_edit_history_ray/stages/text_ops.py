@@ -503,10 +503,24 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     (0.0 for docs with < 2 tokens; raw double — small-int division is
     bit-identical to the SQL oracle's, no rounding). Pure per-doc batch
     kernel — composes into any map_batches stage."""
-    ids = batch.column(id_col)
-    total = np.zeros(batch.num_rows, dtype=np.int64)
-    distinct = np.zeros(batch.num_rows, dtype=np.int64)
-    for i, txt in enumerate(batch.column(text_col).to_pylist()):
+    total, distinct, ratio = bigram_rep_arrays(
+        batch.column(text_col).to_pylist())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "total_bigrams": pa.array(total),
+        "distinct_bigrams": pa.array(distinct),
+        "rep_ratio": pa.array(ratio, type=pa.float64())})
+
+
+def bigram_rep_arrays(texts: list):
+    """(total, distinct, dup-fraction) word-bigram arrays per text — the one
+    kernel behind repetition_stats AND the flagship quality gate, so the
+    standalone operator, its SQL oracle and the composed pipeline can never
+    drift apart."""
+    n_rows = len(texts)
+    total = np.zeros(n_rows, dtype=np.int64)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    for i, txt in enumerate(texts):
         toks = _VOCAB_RE.findall((txt or "").lower())
         n = len(toks) - 1
         if n <= 0:
@@ -514,11 +528,7 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
         total[i] = n
         distinct[i] = len({(toks[j], toks[j + 1]) for j in range(n)})
     ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
-    return pa.table({
-        id_col: ids,
-        "total_bigrams": pa.array(total),
-        "distinct_bigrams": pa.array(distinct),
-        "rep_ratio": pa.array(ratio, type=pa.float64())})
+    return total, distinct, ratio
 
 
 _N_TOKENS_SENTINEL = "\x00n_tokens"

@@ -114,7 +114,13 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
             return g
         ts = _ts_to_us(g[ts_col], "sessionize", ts_col)
         keys = g[key_col].to_numpy()
-        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        # SQL PARTITION BY groups all NULL keys together; a null-padded
+        # int column surfaces here as float64 where NaN != NaN would make
+        # every null row its own key (and object-dtype None would group) —
+        # the key-change mask must treat null==null regardless of dtype
+        nulls = g[key_col].isna().to_numpy()
+        same = (keys[1:] == keys[:-1]) | (nulls[1:] & nulls[:-1])
+        new_key = np.concatenate([[True], ~same])
         gap_break = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
         is_start = new_key | gap_break
         global_sid = np.cumsum(is_start)          # monotone non-decreasing
