@@ -131,3 +131,28 @@ class TestDedup:
         deduped = dedup_changes(
             vc2, ["revision_id", "property_id", "value_id", "change_target"])
         assert deduped.count() == len(once)
+
+
+def test_corpus_prep_cli(ray_session, tmp_path):
+    """The corpus-prep subcommand drives the flagship chain end-to-end to
+    parquet; an all-decontaminated corpus reports rows=0 instead of
+    crashing on the missing output."""
+    import json
+    import subprocess
+    import sys
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    import pyarrow.parquet as pq
+
+    bench = tmp_path / "bench.parquet"
+    pq.write_table(pq.read_table(sf).slice(0, 3), bench)
+    out = subprocess.run(
+        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
+         "--input", sf, "--benchmark", str(bench),
+         "--output", str(tmp_path / "packed")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0
+    t = pq.read_table(res["output"])
+    assert set(t.schema.names) == {"doc_id", "ws_token_count", "pack_id"}

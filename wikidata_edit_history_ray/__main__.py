@@ -150,6 +150,37 @@ def cmd_gen_corpus(args):
     print(json.dumps({"path": path, "docs": args.docs}))
 
 
+def cmd_corpus_prep(args):
+    """Flagship training-data chain over a documents table: exact dedup ->
+    near-dup cluster canonicalization -> benchmark decontamination ->
+    quality gate -> hash split -> sequence packing -> partitioned parquet."""
+    import ray.data
+
+    from .pipelines.corpus_prep import llm_corpus_prep
+
+    _ensure_ray()
+    docs = ray.data.read_parquet(args.input,
+                                 columns=[args.id_col, args.text_col])
+    bench = ray.data.read_parquet(args.benchmark,
+                                  columns=[args.id_col, args.text_col])
+    packed = llm_corpus_prep(
+        docs, bench, text_col=args.text_col, id_col=args.id_col,
+        jaccard_threshold=args.jaccard_threshold,
+        decontam_n=args.decontam_ngram, min_tokens=args.min_tokens,
+        max_rep_ratio=args.max_rep_ratio, pack_tokens=args.pack_tokens,
+        keep_split=args.keep_split)
+    packed.write_parquet(args.output)
+    import pyarrow.parquet as pq2
+
+    try:
+        n = pq2.read_table(args.output, columns=[args.id_col]).num_rows
+    except FileNotFoundError:
+        # every doc filtered out (e.g. the benchmark covers the corpus):
+        # write_parquet emits no files at all — report 0, not a crash
+        n = 0
+    print(json.dumps({"output": args.output, "rows": n}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="wikidata_edit_history_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -202,6 +233,23 @@ def main(argv=None):
     g.add_argument("--chunk-docs", type=int, default=None,
                    help="chunked (Ray-parallel) generation for huge corpora")
     g.set_defaults(fn=cmd_gen_corpus)
+
+    c = sub.add_parser("corpus-prep",
+                       help="dedup -> decontaminate -> filter -> split -> "
+                            "pack, one streaming chain to parquet")
+    c.add_argument("--input", required=True, help="documents parquet")
+    c.add_argument("--benchmark", required=True,
+                   help="benchmark/eval docs parquet to decontaminate against")
+    c.add_argument("--output", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--jaccard-threshold", type=float, default=0.8)
+    c.add_argument("--decontam-ngram", type=int, default=8)
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--max-rep-ratio", type=float, default=0.1)
+    c.add_argument("--pack-tokens", type=int, default=512)
+    c.add_argument("--keep-split", default="train")
+    c.set_defaults(fn=cmd_corpus_prep)
 
     args = p.parse_args(argv)
     args.fn(args)
