@@ -579,3 +579,23 @@ class TestEpochShuffle:
         # the 100s gap does not
         assert out.loc[1] == 1 and out.loc[2] == 2 and out.loc[3] == 2
         assert out.loc[4] == 1
+
+    def test_semdedup_filter_keeps_exemplars(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.similarity import (
+            semdedup, semdedup_filter)
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(4, 12)
+        vecs = [(base[i % 4] + (0.001 if i % 2 else 0.7) * rng.randn(12))
+                .tolist() for i in range(60)]
+        ds = ray.data.from_arrow(pa.table(
+            {"vec_id": list(range(60)),
+             "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+             "payload": [f"p{i}" for i in range(60)]}))
+        flags = semdedup(ds, k=4, threshold=0.95).to_pandas()
+        kept_expected = set(flags[flags.is_dup == 0].vec_id)
+        out = semdedup_filter(ds, k=4, threshold=0.95).to_pandas()
+        assert set(out.vec_id) == kept_expected
+        assert list(out.columns) == ["vec_id", "embedding", "payload"]

@@ -375,3 +375,22 @@ def semdedup(ds, k: int = 8, threshold: float = 0.9,
 
     return ds.map_batches(assign_with_vec, batch_format="pyarrow") \
         .groupby("cluster").map_groups(cluster_scan, batch_format="pyarrow")
+
+
+def semdedup_filter(ds, k: int = 8, threshold: float = 0.9,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids=None, broadcast_limit: int = 2_000_000,
+                    buckets: int | None = None):
+    """Row-keeping sibling of `semdedup` (same shape as the other dedup
+    families' _filter variants): drop every semantic duplicate, return the
+    surviving rows with ALL their columns — what a composed pipeline
+    chains. The dup ids flow through the dual-path distributed anti-join
+    (stages/distributed.filter_out_ids): broadcast below `broadcast_limit`,
+    id-hash bucketed beyond."""
+    from .distributed import filter_out_ids
+
+    flags = semdedup(ds, k=k, threshold=threshold, vec_col=vec_col,
+                     id_col=id_col, centroids=centroids)
+    dup_ids = flags.filter(expr="is_dup == 1").select_columns([id_col])
+    return filter_out_ids(ds, dup_ids, id_col, drop_col=id_col,
+                          broadcast_limit=broadcast_limit, buckets=buckets)
