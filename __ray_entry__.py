@@ -1192,6 +1192,49 @@ def _q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(ds, seed=0)
 
 
+def _q_epoch_pack(sf_dir: str):
+    """Composed pretraining layout job: seeded epoch-shuffle order ->
+    whitespace token counts -> fixed-budget sequence packing over the
+    SHUFFLED order (epoch_shuffle + pack_sequences chained; the pack's
+    order key is the epoch position, so every epoch re-packs differently
+    but deterministically). Slim rows only: (id, epoch_pos, tokens)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.packing import pack_sequences
+    from wikidata_edit_history_ray.stages.sampling import epoch_shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def tokens(b):
+        ws = _pc.cast(_pc.count_substring_regex(
+            _pc.fill_null(b.column("text"), ""), pattern=r"\S+"),
+            _pa.int64())
+        return _pa.table({"doc_id": b.column("doc_id"), "ws_tokens": ws})
+
+    tok = docs.map_batches(tokens, batch_format="pyarrow")
+    pos = epoch_shuffle(docs.select_columns(["doc_id"]), seed=0)
+    # broadcast the slim (id, pos) permutation into the token stream — at
+    # corpus scale this is the id->pos dimension, a bucketed join beyond
+    # broadcast size; here the permutation is k*16 bytes/row
+    from wikidata_edit_history_ray.stages.distributed import (
+        _get_broadcast_dict, broadcast_dataset)
+
+    pos_refs = broadcast_dataset(pos)
+
+    def attach(b):
+        pmap = _get_broadcast_dict(pos_refs, "doc_id", "epoch_pos")
+        ep = [pmap[v] for v in b.column("doc_id").to_pylist()]
+        return b.append_column("epoch_pos", _pa.array(ep, type=_pa.int64()))
+
+    ordered = tok.map_batches(attach, batch_format="pyarrow")
+    return pack_sequences(ordered.select_columns(["epoch_pos", "ws_tokens"]),
+                          token_col="ws_tokens", max_tokens=2048,
+                          order_col="epoch_pos")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1269,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "dsir_logratio": _q_dsir_logratio,
         "epoch_shuffle": _q_epoch_shuffle,
+        "epoch_pack": _q_epoch_pack,
     }
 
 
@@ -2147,5 +2191,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                               md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
                             AS BIGINT) AS h
                   FROM documents)
+        """,
+        "epoch_pack": """
+            WITH pos AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1
+                          AS BIGINT) AS epoch_pos
+              FROM (SELECT doc_id, text,
+                           CAST(('0x' || substr(
+                                md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) AS h
+                    FROM documents)
+            ),
+            tok AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                 '\\S+')) AS BIGINT)
+                         AS ws_tokens
+              FROM documents
+            ),
+            w AS (
+              SELECT p.epoch_pos, t.ws_tokens,
+                     SUM(t.ws_tokens) OVER (ORDER BY p.epoch_pos
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM pos p JOIN tok t USING (doc_id)
+            )
+            SELECT epoch_pos, ws_tokens,
+                   CAST((cum - ws_tokens) // 2048 AS BIGINT) AS pack_id
+            FROM w
         """,
     }

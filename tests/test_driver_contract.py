@@ -38,6 +38,7 @@ SUBSET = [
     "semdedup",
     "dsir_logratio",
     "epoch_shuffle",
+    "epoch_pack",
 ]
 
 
