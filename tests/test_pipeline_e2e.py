@@ -156,3 +156,27 @@ def test_corpus_prep_cli(ray_session, tmp_path):
     assert res["rows"] > 0
     t = pq.read_table(res["output"])
     assert set(t.schema.names) == {"doc_id", "ws_token_count", "pack_id"}
+    assert res["rows"] == t.num_rows
+
+    # rerunning into the SAME non-empty output must refuse loudly (a second
+    # write would interleave old and new packs under fresh UUID names)
+    again = subprocess.run(
+        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
+         "--input", sf, "--benchmark", str(bench),
+         "--output", str(tmp_path / "packed")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert again.returncode != 0
+    assert "previous run" in again.stderr
+
+    # benchmark == corpus: decontamination drops every doc; the command
+    # reports rows=0 (footer-count over zero files), exit 0 — even when the
+    # output directory pre-exists (mkdir -p is standard practice)
+    empty_out = tmp_path / "packed_empty"
+    empty_out.mkdir()
+    zero = subprocess.run(
+        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
+         "--input", sf, "--benchmark", sf,
+         "--output", str(empty_out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert zero.returncode == 0, zero.stderr[-2000:]
+    assert json.loads(zero.stdout.strip().splitlines()[-1])["rows"] == 0

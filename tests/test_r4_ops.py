@@ -531,6 +531,10 @@ class TestEpochShuffle:
         assert got7 == brute(7)
         assert got0 != got7  # a new seed is a new epoch order
 
+
+class TestReviewFixesR4b:
+    """Second review pass pins: kmeans degeneracy, sessionize null keys."""
+
     def test_kmeans_fewer_vectors_than_k(self, ray_session):
         """k degrades to n when the dataset is smaller than k; empty input
         raises loudly instead of a broadcast-shape IndexError."""
@@ -580,6 +584,8 @@ class TestEpochShuffle:
         assert out.loc[1] == 1 and out.loc[2] == 2 and out.loc[3] == 2
         assert out.loc[4] == 1
 
+
+class TestSemDedupFilter:
     def test_semdedup_filter_keeps_exemplars(self, ray_session):
         import ray.data
 

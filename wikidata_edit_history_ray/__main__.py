@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -154,10 +155,21 @@ def cmd_corpus_prep(args):
     """Flagship training-data chain over a documents table: exact dedup ->
     near-dup cluster canonicalization -> benchmark decontamination ->
     quality gate -> hash split -> sequence packing -> partitioned parquet."""
+    import glob as globmod
+
     import ray.data
 
     from .pipelines.corpus_prep import llm_corpus_prep
 
+    # refuse a non-empty output: write_parquet appends UUID-named files, so
+    # a rerun with different parameters would silently interleave old and
+    # new packs and report the inflated total as this run's output
+    existing = globmod.glob(os.path.join(args.output, "*.parquet"))
+    if existing:
+        raise SystemExit(
+            f"corpus-prep: output {args.output} already holds "
+            f"{len(existing)} parquet file(s) from a previous run — remove "
+            f"them or choose a fresh directory")
     _ensure_ray()
     docs = ray.data.read_parquet(args.input,
                                  columns=[args.id_col, args.text_col])
@@ -172,13 +184,15 @@ def cmd_corpus_prep(args):
     packed.write_parquet(args.output)
     import pyarrow.parquet as pq2
 
-    try:
-        n = pq2.read_table(args.output, columns=[args.id_col]).num_rows
-    except FileNotFoundError:
-        # every doc filtered out (e.g. the benchmark covers the corpus):
-        # write_parquet emits no files at all — report 0, not a crash
-        n = 0
+    # count from parquet FOOTERS (KB of I/O), never by materializing a
+    # column on the driver; an all-filtered corpus writes no files at all
+    # (Ray may not even create the directory) -> rows 0, not a crash
+    n = sum(pq2.ParquetFile(f).metadata.num_rows
+            for f in globmod.glob(os.path.join(args.output, "*.parquet")))
     print(json.dumps({"output": args.output, "rows": n}))
+    import ray
+
+    ray.shutdown()
 
 
 def main(argv=None):
