@@ -605,3 +605,41 @@ class TestSemDedupFilter:
         out = semdedup_filter(ds, k=4, threshold=0.95).to_pandas()
         assert set(out.vec_id) == kept_expected
         assert list(out.columns) == ["vec_id", "embedding", "payload"]
+
+
+class TestBlockLayoutInvariance:
+    """The sampling/ordering family's core contract: results are pure
+    functions of the data — identical across any block layout (1 block,
+    many blocks, skewed splits)."""
+
+    @pytest.mark.parametrize("blocks", [1, 3, 11])
+    def test_sampling_family_layout_invariant(self, ray_session, blocks):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import (corpus_mix,
+                                                               epoch_shuffle,
+                                                               hash_split,
+                                                               weighted_sample)
+
+        t = pa.table({
+            "doc_id": list(range(90)),
+            "grp": ["g%d" % (i % 3) for i in range(90)],
+            "weight": [float(1 + i % 7) for i in range(90)],
+        })
+        ds = ray.data.from_arrow(t, override_num_blocks=blocks)
+
+        ws = weighted_sample(ds, "weight", 10, stratum_col="grp") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        mix = corpus_mix(ds, "grp", {"g0": 0.4, "g1": 0.2}, 30) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ep = epoch_shuffle(ds, seed=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        hs = hash_split(ds).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+
+        key = (tuple(ws.doc_id), tuple(mix.doc_id),
+               tuple(ep.epoch_pos), tuple(hs.split))
+        prev = getattr(self.__class__, "_prev", None)
+        if prev is not None:
+            assert key == prev, "block layout changed a deterministic result"
+        self.__class__._prev = key
