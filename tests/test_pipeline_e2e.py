@@ -180,3 +180,46 @@ def test_corpus_prep_cli(ray_session, tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=600)
     assert zero.returncode == 0, zero.stderr[-2000:]
     assert json.loads(zero.stdout.strip().splitlines()[-1])["rows"] == 0
+
+
+def test_corpus_prep_checkpoint_resume(ray_session, tmp_path):
+    """--checkpoint-dir persists the slim post-filter table; a rerun that
+    finds it must skip the chain entirely — proven by pointing --input at
+    a path that does not exist — and re-pack to identical rows."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    bench = tmp_path / "bench.parquet"
+    pq.write_table(pq.read_table(sf).slice(0, 3), bench)
+    ckpt = tmp_path / "ckpt"
+
+    first = subprocess.run(
+        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
+         "--input", sf, "--benchmark", str(bench),
+         "--output", str(tmp_path / "out1"),
+         "--checkpoint-dir", str(ckpt)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert first.returncode == 0, first.stderr[-2000:]
+    r1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert r1["rows"] > 0 and not r1["resumed_from_checkpoint"]
+    assert list(ckpt.glob("*.parquet"))
+
+    second = subprocess.run(
+        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
+         "--input", "/nonexistent/docs.parquet",
+         "--benchmark", "/nonexistent/bench.parquet",
+         "--output", str(tmp_path / "out2"),
+         "--checkpoint-dir", str(ckpt)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert second.returncode == 0, second.stderr[-2000:]
+    r2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert r2["resumed_from_checkpoint"] and r2["rows"] == r1["rows"]
+    t1 = pq.read_table(str(tmp_path / "out1")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    t2 = pq.read_table(str(tmp_path / "out2")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert t1.equals(t2)

@@ -171,16 +171,22 @@ def cmd_corpus_prep(args):
             f"{len(existing)} parquet file(s) from a previous run — remove "
             f"them or choose a fresh directory")
     _ensure_ray()
-    docs = ray.data.read_parquet(args.input,
-                                 columns=[args.id_col, args.text_col])
-    bench = ray.data.read_parquet(args.benchmark,
-                                  columns=[args.id_col, args.text_col])
+    resuming = bool(args.checkpoint_dir) and bool(
+        globmod.glob(os.path.join(args.checkpoint_dir, "*.parquet")))
+    if resuming:
+        # the chain is skipped wholesale — the inputs are not even opened
+        docs = bench = None
+    else:
+        docs = ray.data.read_parquet(args.input,
+                                     columns=[args.id_col, args.text_col])
+        bench = ray.data.read_parquet(args.benchmark,
+                                      columns=[args.id_col, args.text_col])
     packed = llm_corpus_prep(
         docs, bench, text_col=args.text_col, id_col=args.id_col,
         jaccard_threshold=args.jaccard_threshold,
         decontam_n=args.decontam_ngram, min_tokens=args.min_tokens,
         max_rep_ratio=args.max_rep_ratio, pack_tokens=args.pack_tokens,
-        keep_split=args.keep_split)
+        keep_split=args.keep_split, checkpoint_dir=args.checkpoint_dir)
     packed.write_parquet(args.output)
     import pyarrow.parquet as pq2
 
@@ -189,7 +195,8 @@ def cmd_corpus_prep(args):
     # (Ray may not even create the directory) -> rows 0, not a crash
     n = sum(pq2.ParquetFile(f).metadata.num_rows
             for f in globmod.glob(os.path.join(args.output, "*.parquet")))
-    print(json.dumps({"output": args.output, "rows": n}))
+    print(json.dumps({"output": args.output, "rows": n,
+                      "resumed_from_checkpoint": resuming}))
     import ray
 
     ray.shutdown()
@@ -263,6 +270,10 @@ def main(argv=None):
     c.add_argument("--max-rep-ratio", type=float, default=0.1)
     c.add_argument("--pack-tokens", type=int, default=512)
     c.add_argument("--keep-split", default="train")
+    c.add_argument("--checkpoint-dir", default=None,
+                   help="persist the slim post-filter (id, tokens) table "
+                        "here; a rerun that finds it skips the whole "
+                        "dedup/decontamination chain and just re-packs")
     c.set_defaults(fn=cmd_corpus_prep)
 
     args = p.parse_args(argv)

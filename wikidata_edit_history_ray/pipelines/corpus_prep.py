@@ -70,7 +70,8 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
                     decontam_broadcast_limit: int = 2_000_000,
                     min_tokens: int = 20, max_rep_ratio: float = 0.1,
                     pack_tokens: int = 512, keep_split: str = "train",
-                    split_bands=(("train", 90), ("val", 95), ("test", 100))):
+                    split_bands=(("train", 90), ("val", 95), ("test", 100)),
+                    checkpoint_dir: str | None = None):
     """docs + benchmark docs -> Dataset of (id_col, ws_token_count, pack_id):
     the packed training stream of the deduplicated, canonicalized,
     decontaminated, quality-filtered `keep_split` slice.
@@ -88,7 +89,22 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     dedup before near-dup (exact clones must not inflate clusters),
     decontamination over survivors only, the quality gate computes its
     token counts on post-filter text, the split keeps `keep_split`, and
-    packing orders by id over the surviving docs."""
+    packing orders by id over the surviving docs.
+
+    `checkpoint_dir` makes the expensive half RESUMABLE: the dedup /
+    decontamination / gate / split stages are corpus-GLOBAL (their state
+    spans every row), so the honest resume point is the slim surviving
+    (id, ws_token_count) table that feeds packing — it persists there
+    after the chain, and a rerun that finds it skips the chain entirely
+    and re-packs from the checkpoint (deterministic: packing is a pure
+    function of that table). ~16 bytes/surviving doc."""
+    import ray.data
+
+    if checkpoint_dir is not None and _checkpoint_files(checkpoint_dir):
+        kept = ray.data.read_parquet(checkpoint_dir,
+                                     columns=[id_col, "ws_token_count"])
+        return pack_sequences(kept, token_col="ws_token_count",
+                              max_tokens=pack_tokens, order_col=id_col)
     d1 = exact_dedup(docs, text_col=text_col, id_col=id_col)
     d2 = near_dup_canonical_filter(
         d1, text_col=text_col, id_col=id_col,
@@ -110,5 +126,22 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
 
     kept = d5.map_batches(keep_band, batch_format="pyarrow") \
         .select_columns([id_col, "ws_token_count"])
+    if checkpoint_dir is not None:
+        kept.write_parquet(checkpoint_dir)
+        # read the checkpoint back so packing's passes scan parquet
+        # instead of re-executing the whole chain (and so a later rerun
+        # takes the identical path). A zero-survivor run writes no files
+        # at all — keep the (empty) in-memory dataset then; such a run is
+        # trivially cheap to redo and is NOT marked resumable.
+        if _checkpoint_files(checkpoint_dir):
+            kept = ray.data.read_parquet(checkpoint_dir,
+                                         columns=[id_col, "ws_token_count"])
     return pack_sequences(kept, token_col="ws_token_count",
                           max_tokens=pack_tokens, order_col=id_col)
+
+
+def _checkpoint_files(checkpoint_dir: str) -> list:
+    import glob
+    import os
+
+    return glob.glob(os.path.join(checkpoint_dir, "*.parquet"))
