@@ -183,38 +183,39 @@ def test_corpus_prep_cli(ray_session, tmp_path):
 
 
 def test_corpus_prep_checkpoint_resume(ray_session, tmp_path):
-    """--checkpoint-dir persists the slim post-filter table; a rerun that
-    finds it must skip the chain entirely — proven by pointing --input at
-    a path that does not exist — and re-pack to identical rows."""
+    """--checkpoint-dir persists the slim post-filter table; a rerun with
+    the SAME parameters must skip the chain entirely — proven by deleting
+    the input file between runs — and re-pack to identical rows; a rerun
+    with DIFFERENT chain parameters must refuse the stale checkpoint."""
     import json
+    import shutil
     import subprocess
     import sys
 
     import pyarrow.parquet as pq
 
-    sf = "/root/testdata/sf0.001/documents.parquet"
+    sf = tmp_path / "docs.parquet"
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf)
     bench = tmp_path / "bench.parquet"
     pq.write_table(pq.read_table(sf).slice(0, 3), bench)
     ckpt = tmp_path / "ckpt"
 
-    first = subprocess.run(
-        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
-         "--input", sf, "--benchmark", str(bench),
-         "--output", str(tmp_path / "out1"),
-         "--checkpoint-dir", str(ckpt)],
-        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    def run(outdir, extra_args=(), inp=sf):
+        return subprocess.run(
+            [sys.executable, "-m", "wikidata_edit_history_ray",
+             "corpus-prep", "--input", str(inp),
+             "--benchmark", str(bench), "--output", str(tmp_path / outdir),
+             "--checkpoint-dir", str(ckpt), *extra_args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600)
+
+    first = run("out1")
     assert first.returncode == 0, first.stderr[-2000:]
     r1 = json.loads(first.stdout.strip().splitlines()[-1])
     assert r1["rows"] > 0 and not r1["resumed_from_checkpoint"]
-    assert list(ckpt.glob("*.parquet"))
+    assert (ckpt / "_SUCCESS.json").exists()
 
-    second = subprocess.run(
-        [sys.executable, "-m", "wikidata_edit_history_ray", "corpus-prep",
-         "--input", "/nonexistent/docs.parquet",
-         "--benchmark", "/nonexistent/bench.parquet",
-         "--output", str(tmp_path / "out2"),
-         "--checkpoint-dir", str(ckpt)],
-        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    sf.unlink()  # the input is GONE — only a true chain skip can succeed
+    second = run("out2")
     assert second.returncode == 0, second.stderr[-2000:]
     r2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert r2["resumed_from_checkpoint"] and r2["rows"] == r1["rows"]
@@ -223,3 +224,15 @@ def test_corpus_prep_checkpoint_resume(ray_session, tmp_path):
     t2 = pq.read_table(str(tmp_path / "out2")).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert t1.equals(t2)
+
+    # changed chain parameter -> the stale checkpoint must be refused
+    third = run("out3", extra_args=("--min-tokens", "50"))
+    assert third.returncode != 0
+    assert "different" in third.stderr and "chain parameters" in third.stderr
+
+    # a TORN checkpoint (sentinel missing) is never a resume point: with
+    # the input gone the rerun must fail trying to read it, not silently
+    # pack a partial table
+    (ckpt / "_SUCCESS.json").unlink()
+    fourth = run("out4")
+    assert fourth.returncode != 0

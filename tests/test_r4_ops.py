@@ -610,10 +610,11 @@ class TestSemDedupFilter:
 class TestBlockLayoutInvariance:
     """The sampling/ordering family's core contract: results are pure
     functions of the data — identical across any block layout (1 block,
-    many blocks, skewed splits)."""
+    many blocks, skewed splits). One test builds every layout and compares
+    directly, so the assertion cannot be skipped by parametrized
+    scheduling/filtering."""
 
-    @pytest.mark.parametrize("blocks", [1, 3, 11])
-    def test_sampling_family_layout_invariant(self, ray_session, blocks):
+    def test_sampling_family_layout_invariant(self, ray_session):
         import ray.data
 
         from wikidata_edit_history_ray.stages.sampling import (corpus_mix,
@@ -626,20 +627,20 @@ class TestBlockLayoutInvariance:
             "grp": ["g%d" % (i % 3) for i in range(90)],
             "weight": [float(1 + i % 7) for i in range(90)],
         })
-        ds = ray.data.from_arrow(t, override_num_blocks=blocks)
 
-        ws = weighted_sample(ds, "weight", 10, stratum_col="grp") \
-            .to_pandas().sort_values("doc_id").reset_index(drop=True)
-        mix = corpus_mix(ds, "grp", {"g0": 0.4, "g1": 0.2}, 30) \
-            .to_pandas().sort_values("doc_id").reset_index(drop=True)
-        ep = epoch_shuffle(ds, seed=3).to_pandas() \
-            .sort_values("doc_id").reset_index(drop=True)
-        hs = hash_split(ds).to_pandas().sort_values("doc_id") \
-            .reset_index(drop=True)
+        def key_for(blocks):
+            ds = ray.data.from_arrow(t, override_num_blocks=blocks)
+            ws = weighted_sample(ds, "weight", 10, stratum_col="grp") \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            mix = corpus_mix(ds, "grp", {"g0": 0.4, "g1": 0.2}, 30) \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            ep = epoch_shuffle(ds, seed=3).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            hs = hash_split(ds).to_pandas().sort_values("doc_id") \
+                .reset_index(drop=True)
+            return (tuple(ws.doc_id), tuple(mix.doc_id),
+                    tuple(ep.epoch_pos), tuple(hs.split))
 
-        key = (tuple(ws.doc_id), tuple(mix.doc_id),
-               tuple(ep.epoch_pos), tuple(hs.split))
-        prev = getattr(self.__class__, "_prev", None)
-        if prev is not None:
-            assert key == prev, "block layout changed a deterministic result"
-        self.__class__._prev = key
+        keys = [key_for(b) for b in (1, 3, 11)]
+        assert keys[0] == keys[1] == keys[2], \
+            "block layout changed a deterministic result"

@@ -171,8 +171,21 @@ def cmd_corpus_prep(args):
             f"{len(existing)} parquet file(s) from a previous run — remove "
             f"them or choose a fresh directory")
     _ensure_ray()
-    resuming = bool(args.checkpoint_dir) and bool(
-        globmod.glob(os.path.join(args.checkpoint_dir, "*.parquet")))
+    # the library owns the resume decision (sentinel + fingerprint match);
+    # the CLI asks the SAME question with the SAME fingerprint so the two
+    # can never disagree about whether the inputs must be opened
+    from .pipelines.corpus_prep import (CHAIN_DEFAULTS,
+                                        _chain_fingerprint,
+                                        checkpoint_resume_state)
+
+    extra = {"input": args.input, "benchmark": args.benchmark}
+    fp = _chain_fingerprint(
+        text_col=args.text_col, id_col=args.id_col,
+        jaccard_threshold=args.jaccard_threshold,
+        decontam_n=args.decontam_ngram,
+        min_tokens=args.min_tokens, max_rep_ratio=args.max_rep_ratio,
+        keep_split=args.keep_split, extra=extra, **CHAIN_DEFAULTS)
+    resuming = checkpoint_resume_state(args.checkpoint_dir, fp) is not None
     if resuming:
         # the chain is skipped wholesale — the inputs are not even opened
         docs = bench = None
@@ -186,7 +199,8 @@ def cmd_corpus_prep(args):
         jaccard_threshold=args.jaccard_threshold,
         decontam_n=args.decontam_ngram, min_tokens=args.min_tokens,
         max_rep_ratio=args.max_rep_ratio, pack_tokens=args.pack_tokens,
-        keep_split=args.keep_split, checkpoint_dir=args.checkpoint_dir)
+        keep_split=args.keep_split, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_extra=extra)
     packed.write_parquet(args.output)
     import pyarrow.parquet as pq2
 

@@ -62,16 +62,29 @@ def quality_gate(ds, text_col: str = "text", min_tokens: int = 20,
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
+# the chain parameters the CLI does NOT expose — single source of truth for
+# both the function signature and the CLI's resume fingerprint
+CHAIN_DEFAULTS = {
+    "lsh_num_perm": 64,
+    "lsh_bands": 32,
+    "max_compare": 8,
+    "split_bands": (("train", 90), ("val", 95), ("test", 100)),
+}
+
+
 def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
                     id_col: str = "doc_id",
                     jaccard_threshold: float = 0.8,
-                    lsh_num_perm: int = 64, lsh_bands: int = 32,
-                    max_compare: int = 8, decontam_n: int = 8,
+                    lsh_num_perm: int = CHAIN_DEFAULTS["lsh_num_perm"],
+                    lsh_bands: int = CHAIN_DEFAULTS["lsh_bands"],
+                    max_compare: int = CHAIN_DEFAULTS["max_compare"],
+                    decontam_n: int = 8,
                     decontam_broadcast_limit: int = 2_000_000,
                     min_tokens: int = 20, max_rep_ratio: float = 0.1,
                     pack_tokens: int = 512, keep_split: str = "train",
-                    split_bands=(("train", 90), ("val", 95), ("test", 100)),
-                    checkpoint_dir: str | None = None):
+                    split_bands=CHAIN_DEFAULTS["split_bands"],
+                    checkpoint_dir: str | None = None,
+                    checkpoint_extra: dict | None = None):
     """docs + benchmark docs -> Dataset of (id_col, ws_token_count, pack_id):
     the packed training stream of the deduplicated, canonicalized,
     decontaminated, quality-filtered `keep_split` slice.
@@ -100,7 +113,16 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     function of that table). ~16 bytes/surviving doc."""
     import ray.data
 
-    if checkpoint_dir is not None and _checkpoint_files(checkpoint_dir):
+    checkpoint_dir = checkpoint_dir or None  # "" must never glob the CWD
+    fp = _chain_fingerprint(
+        text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, lsh_num_perm=lsh_num_perm,
+        lsh_bands=lsh_bands, max_compare=max_compare, decontam_n=decontam_n,
+        min_tokens=min_tokens, max_rep_ratio=max_rep_ratio,
+        keep_split=keep_split, split_bands=split_bands,
+        extra=checkpoint_extra)
+    if checkpoint_dir is not None and \
+            checkpoint_resume_state(checkpoint_dir, fp) is not None:
         kept = ray.data.read_parquet(checkpoint_dir,
                                      columns=[id_col, "ws_token_count"])
         return pack_sequences(kept, token_col="ws_token_count",
@@ -128,12 +150,15 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
         .select_columns([id_col, "ws_token_count"])
     if checkpoint_dir is not None:
         kept.write_parquet(checkpoint_dir)
-        # read the checkpoint back so packing's passes scan parquet
-        # instead of re-executing the whole chain (and so a later rerun
-        # takes the identical path). A zero-survivor run writes no files
-        # at all — keep the (empty) in-memory dataset then; such a run is
-        # trivially cheap to redo and is NOT marked resumable.
+        # the sentinel (written AFTER every block file, carrying the chain
+        # fingerprint) is what marks the checkpoint complete: Ray streams
+        # one file per block, so an interrupted run leaves a TORN directory
+        # that must never be mistaken for a resume point. A zero-survivor
+        # run writes no files at all — keep the (empty) in-memory dataset
+        # then; such a run is trivially cheap to redo and is NOT marked
+        # resumable.
         if _checkpoint_files(checkpoint_dir):
+            _write_checkpoint_sentinel(checkpoint_dir, fp)
             kept = ray.data.read_parquet(checkpoint_dir,
                                          columns=[id_col, "ws_token_count"])
     return pack_sequences(kept, token_col="ws_token_count",
@@ -145,3 +170,60 @@ def _checkpoint_files(checkpoint_dir: str) -> list:
     import os
 
     return glob.glob(os.path.join(checkpoint_dir, "*.parquet"))
+
+
+_SENTINEL = "_SUCCESS.json"
+
+
+def _chain_fingerprint(**params) -> dict:
+    """Canonical JSON-stable dict of every chain-affecting parameter
+    (pack_tokens deliberately EXCLUDED — packing runs after the checkpoint,
+    so a rerun may change it and still resume)."""
+    import json
+
+    fp = dict(params)
+    fp["split_bands"] = [list(b) for b in fp.get("split_bands") or []]
+    return json.loads(json.dumps(fp, sort_keys=True))
+
+
+def checkpoint_resume_state(checkpoint_dir: str | None, fp: dict):
+    """The ONE owner of the resume decision (CLI and library both call
+    this): returns the stored fingerprint when `checkpoint_dir` holds a
+    COMPLETE checkpoint (sentinel present — a torn directory from an
+    interrupted write is never a resume point) whose fingerprint matches
+    `fp`; None when there is nothing to resume; raises loudly when a
+    complete checkpoint was built with DIFFERENT chain parameters or
+    inputs (silently re-packing stale survivors would produce wrong data
+    for the requested parameters)."""
+    import json
+    import os
+
+    if not checkpoint_dir:
+        return None
+    path = os.path.join(checkpoint_dir, _SENTINEL)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        stored = json.load(f)
+    if stored != fp:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} was built with different "
+            f"chain parameters/inputs:\n  stored: {stored}\n  "
+            f"requested: {fp}\nRemove the checkpoint directory or rerun "
+            f"with the original parameters.")
+    if not _checkpoint_files(checkpoint_dir):
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} has a sentinel but no parquet "
+            f"files — the directory was partially deleted; remove it and "
+            f"rerun")
+    return stored
+
+
+def _write_checkpoint_sentinel(checkpoint_dir: str, fp: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(checkpoint_dir, _SENTINEL + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(fp, f, sort_keys=True)
+    os.replace(tmp, os.path.join(checkpoint_dir, _SENTINEL))
