@@ -1235,6 +1235,42 @@ def _q_epoch_pack(sf_dir: str):
                           order_col="epoch_pos")
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Incremental snapshot diff (stages/dedup_ops.corpus_diff): two
+    deterministic corpus versions derived from the documents table
+    (old drops doc_id%10==0, new drops doc_id%7==0 and edits doc_id%5==0)
+    -> (doc_id, status) over the id union via slim sha1 sketches
+    co-partitioned on an id-hash bucket."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def mod_ne(col, m):
+        return lambda b: b.filter(_pc.not_equal(
+            _pc.subtract(b.column(col), _pc.multiply(
+                _pc.divide(b.column(col), m), m)), 0))
+
+    old = docs.map_batches(mod_ne("doc_id", 10), batch_format="pyarrow")
+
+    def edit_new(b):
+        b = mod_ne("doc_id", 7)(b)
+        ids = b.column("doc_id")
+        is_edit = _pc.equal(_pc.subtract(ids, _pc.multiply(
+            _pc.divide(ids, 5), 5)), 0)
+        edited = _pc.binary_join_element_wise(
+            _pc.fill_null(b.column("text"), ""), " updated", "")
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            _pc.if_else(is_edit, edited, b.column("text")))
+
+    new = docs.map_batches(edit_new, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1313,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logratio": _q_dsir_logratio,
         "epoch_shuffle": _q_epoch_shuffle,
         "epoch_pack": _q_epoch_pack,
+        "corpus_diff": _q_corpus_diff,
     }
 
 
@@ -2219,5 +2256,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT epoch_pos, ws_tokens,
                    CAST((cum - ws_tokens) // 2048 AS BIGINT) AS pack_id
             FROM w
+        """,
+        "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN coalesce(text, '') || ' updated'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN coalesce(o.text, '') = coalesce(n.text, '')
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
     }

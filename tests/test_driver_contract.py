@@ -39,6 +39,7 @@ SUBSET = [
     "dsir_logratio",
     "epoch_shuffle",
     "epoch_pack",
+    "corpus_diff",
 ]
 
 

@@ -644,3 +644,37 @@ class TestBlockLayoutInvariance:
         keys = [key_for(b) for b in (1, 3, 11)]
         assert keys[0] == keys[1] == keys[2], \
             "block layout changed a deterministic result"
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+        old = ray.data.from_arrow(pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a", "b", "c", "d"]}), override_num_blocks=2)
+        new = ray.data.from_arrow(pa.table({
+            "doc_id": [2, 3, 4, 5],
+            "text": ["b", "c CHANGED", "d", "e"]}), override_num_blocks=3)
+        got = dict(zip(*[corpus_diff(old, new).to_pandas()[c]
+                         for c in ("doc_id", "status")]))
+        assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                       4: "unchanged", 5: "added"}
+
+    def test_null_text_equals_empty(self, ray_session):
+        """NULL text hashes like '' on both sides — a None->'' flip is
+        'unchanged', matching the oracle's coalesce comparison."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+        old = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()),
+             "text": pa.array([None], type=pa.string())}))
+        new = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()),
+             "text": pa.array([""], type=pa.string())}))
+        got = corpus_diff(old, new).to_pandas()
+        assert list(got.status) == ["unchanged"]

@@ -727,3 +727,73 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     drop_ds = bds.map_batches(coarse, batch_format="pyarrow") \
         .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
     return filter_out_ids(ds, drop_ds, id_col)
+
+
+def corpus_diff(old_ds, new_ds, text_col: str = "text",
+                id_col: str = "doc_id", buckets: int | None = None):
+    """Incremental-ingestion primitive: compare two corpus snapshots by id
+    and content -> Dataset of (id_col, status) over the UNION of ids, with
+    status in {'added', 'removed', 'changed', 'unchanged'} — the planner
+    input that lets a 100-TB rerun process only the changed slice instead
+    of the whole corpus.
+
+    100-TB shape: each side reduces to SLIM (id, 12-byte sha1 content
+    sketch) rows — the text never moves — and the two sides co-partition
+    on an id-hash bucket (stages/distributed._hash_bucket_array, the same
+    value-stable routing as every other join here); each bucket compares
+    locally and emits its status rows. 'changed' vs 'unchanged' is a
+    sketch comparison: two DIFFERENT texts share a 96-bit sha1 prefix with
+    P ~ 2^-96 (the same bound exact_dedup documents)."""
+    from .distributed import _hash_bucket_array, default_reduce_buckets
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+
+    id_type = old_ds.schema().types[
+        old_ds.schema().names.index(id_col)]
+
+    def slim(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            hashes = [hashlib.sha1((t or "").encode("utf-8")).digest()[:12]
+                      for t in texts]
+            ids = batch.column(id_col)
+            return pa.table({
+                id_col: ids,
+                "_h": pa.array(hashes, type=pa.binary(12)),
+                "_side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)),
+                "_b": _hash_bucket_array(ids.to_pylist(), buckets)})
+
+        return f
+
+    def bucket_status(group: pa.Table) -> pa.Table:
+        is_old = pc.equal(group.column("_side"), 0)
+        old = group.filter(is_old)
+        new = group.filter(pc.invert(is_old))
+        old_map = dict(zip(old.column(id_col).to_pylist(),
+                           old.column("_h").to_pylist()))
+        new_map = dict(zip(new.column(id_col).to_pylist(),
+                           new.column("_h").to_pylist()))
+        ids, status = [], []
+        for d, h in new_map.items():
+            oh = old_map.get(d)
+            if oh is None:
+                s = "added"
+            elif oh == h:
+                s = "unchanged"
+            else:
+                s = "changed"
+            ids.append(d)
+            status.append(s)
+        for d in old_map:
+            if d not in new_map:
+                ids.append(d)
+                status.append("removed")
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "status": pa.array(status, type=pa.string())})
+
+    unioned = old_ds.map_batches(slim(0), batch_format="pyarrow") \
+        .union(new_ds.map_batches(slim(1), batch_format="pyarrow"))
+    return unioned.groupby("_b").map_groups(bucket_status,
+                                            batch_format="pyarrow")
