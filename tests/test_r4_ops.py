@@ -678,3 +678,84 @@ class TestCorpusDiff:
              "text": pa.array([""], type=pa.string())}))
         got = corpus_diff(old, new).to_pandas()
         assert list(got.status) == ["unchanged"]
+
+    def test_duplicate_id_within_snapshot_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+        old = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 1], "text": ["a", "b"]}))
+        new = ray.data.from_arrow(pa.table(
+            {"doc_id": [1], "text": ["a"]}))
+        with pytest.raises(Exception, match="duplicate"):
+            corpus_diff(old, new).to_pandas()
+
+    def test_mixed_int_widths_promote(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+        old = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1, 2], type=pa.int32()),
+             "text": ["a", "b"]}))
+        wide = 2 ** 40
+        new = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([2, wide], type=pa.int64()),
+             "text": ["b", "w"]}))
+        got = dict(zip(*[corpus_diff(old, new).to_pandas()[c]
+                         for c in ("doc_id", "status")]))
+        assert got == {1: "removed", 2: "unchanged", wide: "added"}
+
+    def test_empty_sides_keep_schema(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import corpus_diff
+
+        full = ray.data.from_arrow(pa.table(
+            {"doc_id": [1], "text": ["a"]}))
+        # a filter chain that drops every row yields schema-less blocks
+        empty = full.filter(lambda r: False)
+        both = corpus_diff(empty, empty)
+        assert both.schema() is not None and both.count() == 0
+        one = corpus_diff(empty, full).to_pandas()
+        assert list(one.status) == ["added"]
+        other = corpus_diff(full, empty).to_pandas()
+        assert list(other.status) == ["removed"]
+
+
+class TestCheckpointTornDir:
+    def test_stale_torn_files_cleared_before_rewrite(self, ray_session,
+                                                     tmp_path):
+        """A sentinel-less (torn) checkpoint directory must be CLEARED when
+        the chain re-runs — write_parquet appends, and marking a mixed
+        directory complete would duplicate rows in the pack and poison
+        every future resume."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from wikidata_edit_history_ray.pipelines.corpus_prep import \
+            llm_corpus_prep
+
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": list(range(100)),
+            "text": ["unique words %d " % i + " ".join(
+                "tok%d%d" % (i, j) for j in range(30)) for i in range(100)]}))
+        bench = ray.data.from_arrow(pa.table(
+            {"doc_id": [999], "text": ["no overlap at all here"]}))
+        ckpt = tmp_path / "ckpt"
+        ckpt.mkdir()
+        # torn leftovers from an interrupted attempt: block files, NO
+        # sentinel — with ids far outside the real corpus
+        pq.write_table(pa.table({
+            "doc_id": pa.array([777777], type=pa.int64()),
+            "ws_token_count": pa.array([5], type=pa.int64())}),
+            ckpt / "torn-000.parquet")
+
+        out = llm_corpus_prep(docs, bench, checkpoint_dir=str(ckpt)) \
+            .to_pandas()
+        assert 777777 not in set(out.doc_id)
+        # and the now-complete checkpoint resumes to the identical result
+        out2 = llm_corpus_prep(None, None, checkpoint_dir=str(ckpt)) \
+            .to_pandas()
+        assert sorted(out.doc_id) == sorted(out2.doc_id)

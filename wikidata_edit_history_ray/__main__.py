@@ -155,47 +155,35 @@ def cmd_corpus_prep(args):
     """Flagship training-data chain over a documents table: exact dedup ->
     near-dup cluster canonicalization -> benchmark decontamination ->
     quality gate -> hash split -> sequence packing -> partitioned parquet."""
-    import glob as globmod
-
     import ray.data
 
-    from .pipelines.corpus_prep import llm_corpus_prep
+    from .pipelines.corpus_prep import _checkpoint_files, llm_corpus_prep
 
     # refuse a non-empty output: write_parquet appends UUID-named files, so
     # a rerun with different parameters would silently interleave old and
     # new packs and report the inflated total as this run's output
-    existing = globmod.glob(os.path.join(args.output, "*.parquet"))
+    existing = _checkpoint_files(args.output)
     if existing:
         raise SystemExit(
             f"corpus-prep: output {args.output} already holds "
             f"{len(existing)} parquet file(s) from a previous run — remove "
             f"them or choose a fresh directory")
     _ensure_ray()
-    # the library owns the resume decision (sentinel + fingerprint match);
-    # the CLI asks the SAME question with the SAME fingerprint so the two
-    # can never disagree about whether the inputs must be opened
-    from .pipelines.corpus_prep import (CHAIN_DEFAULTS,
-                                        _chain_fingerprint,
-                                        checkpoint_resume_state)
-
+    # the inputs are passed as LAZY loaders: the library alone owns the
+    # resume decision (sentinel + fingerprint), and only calls the loaders
+    # when the chain will really run — a resume never opens the inputs
     extra = {"input": args.input, "benchmark": args.benchmark}
-    fp = _chain_fingerprint(
-        text_col=args.text_col, id_col=args.id_col,
-        jaccard_threshold=args.jaccard_threshold,
-        decontam_n=args.decontam_ngram,
-        min_tokens=args.min_tokens, max_rep_ratio=args.max_rep_ratio,
-        keep_split=args.keep_split, extra=extra, **CHAIN_DEFAULTS)
-    resuming = checkpoint_resume_state(args.checkpoint_dir, fp) is not None
-    if resuming:
-        # the chain is skipped wholesale — the inputs are not even opened
-        docs = bench = None
-    else:
-        docs = ray.data.read_parquet(args.input,
-                                     columns=[args.id_col, args.text_col])
-        bench = ray.data.read_parquet(args.benchmark,
-                                      columns=[args.id_col, args.text_col])
+    # reporting only — captured BEFORE the call (a fresh run writes the
+    # sentinel itself); the decision proper lives inside the library, and
+    # a fingerprint mismatch raises there
+    resuming = bool(args.checkpoint_dir) and os.path.exists(
+        os.path.join(args.checkpoint_dir, "_SUCCESS.json"))
     packed = llm_corpus_prep(
-        docs, bench, text_col=args.text_col, id_col=args.id_col,
+        lambda: ray.data.read_parquet(args.input,
+                                      columns=[args.id_col, args.text_col]),
+        lambda: ray.data.read_parquet(args.benchmark,
+                                      columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col,
         jaccard_threshold=args.jaccard_threshold,
         decontam_n=args.decontam_ngram, min_tokens=args.min_tokens,
         max_rep_ratio=args.max_rep_ratio, pack_tokens=args.pack_tokens,
@@ -208,7 +196,7 @@ def cmd_corpus_prep(args):
     # column on the driver; an all-filtered corpus writes no files at all
     # (Ray may not even create the directory) -> rows 0, not a crash
     n = sum(pq2.ParquetFile(f).metadata.num_rows
-            for f in globmod.glob(os.path.join(args.output, "*.parquet")))
+            for f in _checkpoint_files(args.output))
     print(json.dumps({"output": args.output, "rows": n,
                       "resumed_from_checkpoint": resuming}))
     import ray

@@ -127,6 +127,13 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
                                      columns=[id_col, "ws_token_count"])
         return pack_sequences(kept, token_col="ws_token_count",
                               max_tokens=pack_tokens, order_col=id_col)
+    # docs/bench_docs may be zero-arg LOADERS (the CLI passes these so the
+    # resume decision above is the only owner of "do the inputs get
+    # opened"); materialize them only now that the chain will really run
+    if callable(docs):
+        docs = docs()
+    if callable(bench_docs):
+        bench_docs = bench_docs()
     d1 = exact_dedup(docs, text_col=text_col, id_col=id_col)
     d2 = near_dup_canonical_filter(
         d1, text_col=text_col, id_col=id_col,
@@ -149,6 +156,15 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     kept = d5.map_batches(keep_band, batch_format="pyarrow") \
         .select_columns([id_col, "ws_token_count"])
     if checkpoint_dir is not None:
+        # a TORN directory from an interrupted prior attempt (block files,
+        # no sentinel) must be cleared first: write_parquet APPENDS
+        # UUID-named files, and marking a mixed old+new directory complete
+        # would duplicate surviving rows in this run's pack AND poison
+        # every future resume
+        import os as _os
+
+        for stale in _checkpoint_files(checkpoint_dir):
+            _os.remove(stale)
         kept.write_parquet(checkpoint_dir)
         # the sentinel (written AFTER every block file, carrying the chain
         # fingerprint) is what marks the checkpoint complete: Ray streams

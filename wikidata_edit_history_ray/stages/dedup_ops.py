@@ -744,20 +744,47 @@ def corpus_diff(old_ds, new_ds, text_col: str = "text",
     locally and emits its status rows. 'changed' vs 'unchanged' is a
     sketch comparison: two DIFFERENT texts share a 96-bit sha1 prefix with
     P ~ 2^-96 (the same bound exact_dedup documents)."""
+    import ray.data
+
     from .distributed import _hash_bucket_array, default_reduce_buckets
 
     if buckets is None:
         buckets = default_reduce_buckets()
 
-    id_type = old_ds.schema().types[
-        old_ds.schema().names.index(id_col)]
+    def side_id_type(ds):
+        schema = ds.schema()
+        return (None if schema is None
+                else schema.types[schema.names.index(id_col)])
+
+    t_old, t_new = side_id_type(old_ds), side_id_type(new_ds)
+    # a fully-empty upstream (filter chain that dropped every row) has no
+    # schema at all; both sides empty -> a typed empty diff
+    if t_old is None and t_new is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "status": pa.array([], type=pa.string())}))
+    # one id type for BOTH sides: snapshots written months apart really do
+    # differ in integer width (int32 vs int64 parquet — the case
+    # membership_flags casts for); a split union schema would fail the
+    # groupby, and taking the old side's narrower type would overflow on
+    # 'added' wide ids
+    if t_old is None:
+        id_type = t_new
+    elif t_new is None or t_old.equals(t_new):
+        id_type = t_old
+    elif pa.types.is_integer(t_old) and pa.types.is_integer(t_new):
+        id_type = pa.int64()
+    else:
+        raise TypeError(
+            f"corpus_diff: incompatible {id_col!r} types across snapshots: "
+            f"{t_old} vs {t_new}")
 
     def slim(side: int):
         def f(batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
             hashes = [hashlib.sha1((t or "").encode("utf-8")).digest()[:12]
                       for t in texts]
-            ids = batch.column(id_col)
+            ids = batch.column(id_col).cast(id_type)
             return pa.table({
                 id_col: ids,
                 "_h": pa.array(hashes, type=pa.binary(12)),
@@ -775,6 +802,18 @@ def corpus_diff(old_ds, new_ds, text_col: str = "text",
                            old.column("_h").to_pylist()))
         new_map = dict(zip(new.column(id_col).to_pylist(),
                            new.column("_h").to_pylist()))
+        # a duplicate id inside one snapshot would make the status depend
+        # on nondeterministic row order (dict last-wins) — refuse loudly;
+        # run exact_dedup (or dedupe by id) first
+        if len(old_map) != old.num_rows or len(new_map) != new.num_rows:
+            from collections import Counter
+            side_rows = (old if len(old_map) != old.num_rows else new)
+            dup = next(v for v, c in Counter(
+                side_rows.column(id_col).to_pylist()).items() if c > 1)
+            raise ValueError(
+                f"corpus_diff: duplicate {id_col}={dup!r} inside one "
+                f"snapshot — statuses would be row-order-dependent; "
+                f"dedupe each snapshot by id first")
         ids, status = [], []
         for d, h in new_map.items():
             oh = old_map.get(d)
@@ -793,7 +832,15 @@ def corpus_diff(old_ds, new_ds, text_col: str = "text",
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "status": pa.array(status, type=pa.string())})
 
-    unioned = old_ds.map_batches(slim(0), batch_format="pyarrow") \
-        .union(new_ds.map_batches(slim(1), batch_format="pyarrow"))
+    def slim_side(ds, side, t):
+        if t is None:  # schema-less empty side: a typed empty slim table
+            return ray.data.from_arrow(pa.table({
+                id_col: pa.array([], type=id_type),
+                "_h": pa.array([], type=pa.binary(12)),
+                "_side": pa.array([], type=pa.int8()),
+                "_b": pa.array([], type=pa.int64())}))
+        return ds.map_batches(slim(side), batch_format="pyarrow")
+
+    unioned = slim_side(old_ds, 0, t_old).union(slim_side(new_ds, 1, t_new))
     return unioned.groupby("_b").map_groups(bucket_status,
                                             batch_format="pyarrow")
