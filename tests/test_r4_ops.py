@@ -759,3 +759,24 @@ class TestCheckpointTornDir:
         out2 = llm_corpus_prep(None, None, checkpoint_dir=str(ckpt)) \
             .to_pandas()
         assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+class TestNullStratum:
+    def test_null_stratum_is_one_group_like_sql(self, ray_session):
+        """SQL PARTITION BY keeps NULL keys as one partition; the pandas
+        block-local groupby must not silently discard null-stratum rows."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.sampling import (
+            stratified_sample, weighted_sample)
+
+        t = pa.table({"doc_id": [1, 2, 3, 4, 5, 6],
+                      "stratum": ["a", "a", None, None, "b", "b"],
+                      "weight": [1.0] * 6})
+        ds = ray.data.from_arrow(t, override_num_blocks=3)
+        strat = stratified_sample(ds, "stratum", 1).to_pandas()
+        assert len(strat) == 3  # one winner per group INCLUDING the null one
+        assert strat.stratum.isna().sum() == 1
+        ws = weighted_sample(ds, "weight", 1, stratum_col="stratum") \
+            .to_pandas()
+        assert len(ws) == 3 and ws.stratum.isna().sum() == 1

@@ -24,6 +24,19 @@ def _md5_rank(ids) -> list:
     return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
 
 
+_NULL_STRAT = "\x00<null>"
+
+
+def _strat_key_column(df, stratum_col):
+    """Ray's sort-based groupby cannot shuffle a None among string keys
+    (boundary computation compares None < str); group on an explicit
+    string key with nulls mapped to a reserved sentinel instead, keeping
+    the original stratum column for the output."""
+    return [
+        _NULL_STRAT if v is None or (isinstance(v, float) and v != v)
+        else str(v) for v in df[stratum_col]]
+
+
 def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id"):
     """Keep the k lowest-md5(id) rows per stratum; ties impossible (md5 of
     distinct ids). Returns the full surviving rows."""
@@ -31,16 +44,19 @@ def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id"):
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["_rk"] = _md5_rank(df[id_col])
+        # dropna=False: SQL PARTITION BY keeps NULL keys as one group —
+        # pandas' default silently discards every null-stratum row
         df = df.sort_values([stratum_col, "_rk"], kind="mergesort") \
-            .groupby(stratum_col, sort=False).head(k)
+            .groupby(stratum_col, sort=False, dropna=False).head(k)
+        df["_sk"] = _strat_key_column(df, stratum_col)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_topk(group):
         g = group.sort_values("_rk", kind="mergesort").head(k)
-        return g.drop(columns=["_rk"])
+        return g.drop(columns=["_rk", "_sk"])
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby(stratum_col).map_groups(final_topk, batch_format="pandas")
+        .groupby("_sk").map_groups(final_topk, batch_format="pandas")
 
 
 def hash_split(ds, id_col: str = "doc_id",
@@ -124,17 +140,18 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
         df = df.sort_values([strat, "_wk", id_col],
                             ascending=[True, False, True],
                             kind="mergesort") \
-            .groupby(strat, sort=False).head(k)
+            .groupby(strat, sort=False, dropna=False).head(k)
+        df["_sk"] = _strat_key_column(df, strat)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_topk(group):
         g = group.sort_values(["_wk", id_col], ascending=[False, True],
                               kind="mergesort").head(k)
-        drop = ["_wk"] + (["_stratum"] if stratum_col is None else [])
+        drop = ["_wk", "_sk"] + (["_stratum"] if stratum_col is None else [])
         return g.drop(columns=drop)
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby(strat).map_groups(final_topk, batch_format="pandas")
+        .groupby("_sk").map_groups(final_topk, batch_format="pandas")
 
 
 def corpus_mix(ds, group_col: str, targets: dict, total: int,
