@@ -1271,6 +1271,60 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(old, new)
 
 
+def _q_apply_corpus_delta(sf_dir: str):
+    """Incremental upsert/delete merge (stages/dedup_ops.apply_corpus_delta):
+    a deterministic delta derived from the documents table (doc_id%7==0
+    deleted; %5==0 upserted with edited text; %11==0 inserted under
+    doc_id+1000000) applied to the full snapshot — one id-hash bucket
+    co-partition. Output slimmed to (doc_id, lang) + text length."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.dedup_ops import apply_corpus_delta
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def make_delta(b):
+        ids = b.column("doc_id")
+        mod = lambda m: _pc.subtract(ids, _pc.multiply(_pc.divide(ids, m), m))
+        is_del = _pc.equal(mod(7), 0)
+        is_up = _pc.and_(_pc.equal(mod(5), 0), _pc.invert(is_del))
+        is_ins = _pc.equal(mod(11), 0)
+        txt = _pc.fill_null(b.column("text"), "")
+        out_ids, out_txt, out_op = [], [], []
+        for i in range(b.num_rows):
+            d = ids[i].as_py()
+            if is_del[i].as_py():
+                out_ids.append(d)
+                out_txt.append(None)
+                out_op.append("delete")
+            elif is_up[i].as_py():
+                out_ids.append(d)
+                out_txt.append(txt[i].as_py() + " v2")
+                out_op.append("upsert")
+            if is_ins[i].as_py():
+                out_ids.append(d + 1000000)
+                out_txt.append("inserted " + txt[i].as_py())
+                out_op.append("upsert")
+        return _pa.table({
+            "doc_id": _pa.array(out_ids, type=_pa.int64()),
+            "text": _pa.array(out_txt, type=_pa.string()),
+            "delta_op": _pa.array(out_op, type=_pa.string())})
+
+    delta = docs.map_batches(make_delta, batch_format="pyarrow")
+    merged = apply_corpus_delta(docs, delta)
+
+    def slim(b):
+        return _pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_len": _pc.cast(_pc.utf8_length(
+                _pc.fill_null(b.column("text"), "")), _pa.int64())})
+
+    return merged.map_batches(slim, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1350,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "epoch_pack": _q_epoch_pack,
         "corpus_diff": _q_corpus_diff,
+        "apply_corpus_delta": _q_apply_corpus_delta,
     }
 
 
@@ -2275,5 +2330,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                              THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "apply_corpus_delta": """
+            WITH survivors AS (
+              SELECT doc_id, coalesce(text, '') AS text
+              FROM documents
+              WHERE doc_id % 7 <> 0 AND NOT (doc_id % 5 = 0)
+            ),
+            upserts AS (
+              SELECT doc_id, coalesce(text, '') || ' v2' AS text
+              FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+            ),
+            inserts AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     'inserted ' || coalesce(text, '') AS text
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            merged AS (
+              SELECT * FROM survivors
+              UNION ALL SELECT * FROM upserts
+              UNION ALL SELECT * FROM inserts
+            )
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+            FROM merged
         """,
     }

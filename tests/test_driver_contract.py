@@ -40,6 +40,7 @@ SUBSET = [
     "epoch_shuffle",
     "epoch_pack",
     "corpus_diff",
+    "apply_corpus_delta",
 ]
 
 

@@ -780,3 +780,68 @@ class TestNullStratum:
         ws = weighted_sample(ds, "weight", 1, stratum_col="stratum") \
             .to_pandas()
         assert len(ws) == 3 and ws.stratum.isna().sum() == 1
+
+
+class TestApplyCorpusDelta:
+    def test_upsert_delete_insert(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            apply_corpus_delta
+
+        old = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]}),
+            override_num_blocks=2)
+        delta = ray.data.from_arrow(pa.table(
+            {"doc_id": [2, 3, 5],
+             "text": [None, "c2", "e"],
+             "delta_op": ["delete", "upsert", "upsert"]}),
+            override_num_blocks=2)
+        out = apply_corpus_delta(old, delta).to_pandas()
+        assert dict(zip(out.doc_id, out.text)) == \
+            {1: "a", 3: "c2", 4: "d", 5: "e"}
+
+    def test_duplicate_and_unknown_ops_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            apply_corpus_delta
+
+        old = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
+        dup = ray.data.from_arrow(pa.table(
+            {"doc_id": [7, 7], "text": ["x", "y"],
+             "delta_op": ["upsert", "upsert"]}))
+        with pytest.raises(Exception, match="duplicate"):
+            apply_corpus_delta(old, dup).to_pandas()
+        bad = ray.data.from_arrow(pa.table(
+            {"doc_id": [7], "text": ["x"], "delta_op": ["replace"]}))
+        with pytest.raises(Exception, match="unknown"):
+            apply_corpus_delta(old, bad).to_pandas()
+
+    def test_diff_then_apply_roundtrip(self, ray_session):
+        """corpus_diff plans, apply_corpus_delta executes: applying the
+        diff-derived delta to old reproduces new exactly."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import (
+            apply_corpus_delta, corpus_diff)
+
+        old_t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+        new_t = pa.table({"doc_id": [2, 3, 5], "text": ["b", "c9", "e"]})
+        old = ray.data.from_arrow(old_t)
+        new = ray.data.from_arrow(new_t)
+        plan = corpus_diff(old, new).to_pandas()
+        new_map = dict(zip(new_t.column("doc_id").to_pylist(),
+                           new_t.column("text").to_pylist()))
+        rows = []
+        for r in plan.itertuples():
+            if r.status == "removed":
+                rows.append((r.doc_id, None, "delete"))
+            elif r.status in ("added", "changed"):
+                rows.append((r.doc_id, new_map[r.doc_id], "upsert"))
+        delta = ray.data.from_arrow(pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "delta_op": [r[2] for r in rows]}))
+        got = apply_corpus_delta(old, delta).to_pandas()
+        assert dict(zip(got.doc_id, got.text)) == new_map

@@ -844,3 +844,78 @@ def corpus_diff(old_ds, new_ds, text_col: str = "text",
     unioned = slim_side(old_ds, 0, t_old).union(slim_side(new_ds, 1, t_new))
     return unioned.groupby("_b").map_groups(bucket_status,
                                             batch_format="pyarrow")
+
+
+def apply_corpus_delta(old_ds, delta_ds, id_col: str = "doc_id",
+                       op_col: str = "delta_op", buckets: int | None = None):
+    """The other half of incremental ingestion (corpus_diff plans, this
+    APPLIES): merge a delta table of (id, ..., op in {'upsert', 'delete'})
+    into the old snapshot -> the new snapshot. An 'upsert' row replaces the
+    old row with that id (or inserts it); a 'delete' removes it; everything
+    else carries over — the dataset-level analog of the reference's COPY
+    upsert sink (main.py's ON CONFLICT path), expressed as ONE keyed merge.
+
+    100-TB shape: old rows and delta rows co-partition on an id-hash
+    bucket (the only shuffle; both sides carry their payload exactly once)
+    and each bucket resolves locally — no driver-side state. Duplicate ids
+    within the delta are refused loudly (order-dependent winners), and an
+    unknown op value is an error, never a silent carry-over."""
+    from .distributed import _hash_bucket_array, default_reduce_buckets
+
+    if buckets is None:
+        buckets = default_reduce_buckets()
+    schema = old_ds.schema()
+    payload = [n for n in schema.names if n != id_col]
+    full = pa.schema(
+        [(id_col, schema.types[schema.names.index(id_col)])]
+        + [(n, schema.types[schema.names.index(n)]) for n in payload]
+        + [(op_col, pa.string())])
+
+    def tag(is_delta: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            cols = {id_col: ids}
+            for n in payload:
+                cols[n] = batch.column(n)
+            cols[op_col] = (batch.column(op_col) if is_delta
+                            else pa.nulls(batch.num_rows, type=pa.string()))
+            out = pa.table(cols).cast(full)
+            return out.append_column(
+                "_b", _hash_bucket_array(ids.to_pylist(), buckets))
+
+        return f
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        ops = group.column(op_col).to_pylist()
+        ids = group.column(id_col).to_pylist()
+        delete, upsert_rows = set(), {}
+        for i, (d, op) in enumerate(zip(ids, ops)):
+            if op is None:
+                continue
+            if op == "delete":
+                delete.add(d)
+            elif op == "upsert":
+                if d in upsert_rows or d in delete:
+                    raise ValueError(
+                        f"apply_corpus_delta: duplicate delta rows for "
+                        f"{id_col}={d!r} — the winner would be "
+                        f"row-order-dependent")
+                upsert_rows[d] = i
+            else:
+                raise ValueError(
+                    f"apply_corpus_delta: unknown {op_col}={op!r} for "
+                    f"{id_col}={d!r} (expected 'upsert' or 'delete')")
+            if d in delete and d in upsert_rows:
+                raise ValueError(
+                    f"apply_corpus_delta: duplicate delta rows for "
+                    f"{id_col}={d!r} — the winner would be "
+                    f"row-order-dependent")
+        keep = [i for i, (d, op) in enumerate(zip(ids, ops))
+                if (op is None and d not in delete and d not in upsert_rows)
+                or (op == "upsert")]
+        return group.take(pa.array(keep, type=pa.int64())) \
+            .drop_columns([op_col, "_b"])
+
+    return old_ds.map_batches(tag(False), batch_format="pyarrow") \
+        .union(delta_ds.map_batches(tag(True), batch_format="pyarrow")) \
+        .groupby("_b").map_groups(bucket_merge, batch_format="pyarrow")
