@@ -1325,6 +1325,19 @@ def _q_apply_corpus_delta(sf_dir: str):
     return merged.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_blocklist_flags(sf_dir: str):
+    """C4-style blocklist signal: token-level badword flag against a fixed
+    term list (stages/text_ops.blocklist_flags) — blocklist rides the task
+    spec, one streaming pass, zero shuffle."""
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.text_ops import blocklist_flags
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return blocklist_flags(ds, ["spark"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1405,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_pack": _q_epoch_pack,
         "corpus_diff": _q_corpus_diff,
         "apply_corpus_delta": _q_apply_corpus_delta,
+        "blocklist_flags": _q_blocklist_flags,
     }
 
 
@@ -2354,5 +2368,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
             FROM merged
+        """,
+        "blocklist_flags": """
+            SELECT doc_id,
+                   CAST(CASE WHEN EXISTS (
+                       SELECT 1 FROM unnest(regexp_extract_all(
+                           lower(coalesce(d.text, '')), '[a-z0-9]+')) t(tok)
+                       WHERE tok IN ('spark')) THEN 1 ELSE 0 END
+                     AS BIGINT) AS blocked
+            FROM documents d
         """,
     }

@@ -41,6 +41,7 @@ SUBSET = [
     "epoch_pack",
     "corpus_diff",
     "apply_corpus_delta",
+    "blocklist_flags",
 ]
 
 

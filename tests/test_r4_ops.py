@@ -845,3 +845,30 @@ class TestApplyCorpusDelta:
             "delta_op": [r[2] for r in rows]}))
         got = apply_corpus_delta(old, delta).to_pandas()
         assert dict(zip(got.doc_id, got.text)) == new_map
+
+
+class TestBlocklistFlags:
+    def test_token_boundary_semantics(self, ray_session):
+        """'class' in the blocklist must NOT flag 'classification' — token
+        match, not substring."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import blocklist_flags
+
+        t = pa.table({"doc_id": [1, 2, 3, 4],
+                      "text": ["a classification task", "first CLASS seats",
+                               None, "class9 label"]})
+        out = blocklist_flags(ray.data.from_arrow(t), ["class"]) \
+            .to_pandas().set_index("doc_id").blocked
+        # 2 flags (case-folded token); 1 does not (substring only);
+        # 4 does not ('class9' is one [a-z0-9]+ token)
+        assert dict(out) == {1: 0, 2: 1, 3: 0, 4: 0}
+
+    def test_empty_blocklist_rejected(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.text_ops import blocklist_flags
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError, match="empty blocklist"):
+            blocklist_flags(ds, [])

@@ -939,3 +939,27 @@ def dsir_logratio(ds, target_ds, text_col: str = "text",
             "dsir_logratio": pa.array(out_s, type=pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def blocklist_flags(ds, terms, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """C4-style blocklist filter signal: flag every doc whose TOKEN set
+    ([a-z0-9]+ of the lowered text — word-boundary semantics, 'class' never
+    matches inside 'classification') intersects `terms` -> Dataset of
+    (id_col, blocked 0/1). The blocklist is tiny and rides the task spec;
+    one streaming map_batches, zero shuffle. Probing is a per-doc set
+    intersection against a frozenset — the same shape as the
+    decontamination broadcast path at n=1."""
+    tset = frozenset(t.lower() for t in terms)
+    if not tset:
+        raise ValueError("blocklist_flags: empty blocklist — flagging "
+                         "nothing is almost certainly a caller bug")
+
+    def probe(batch: pa.Table) -> pa.Table:
+        flags = np.empty(batch.num_rows, dtype=np.int64)
+        for i, toks in enumerate(_doc_tokens(batch.column(text_col))):
+            flags[i] = int(not tset.isdisjoint(toks))
+        return pa.table({id_col: batch.column(id_col),
+                         "blocked": pa.array(flags)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
