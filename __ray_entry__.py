@@ -1338,6 +1338,35 @@ def _q_blocklist_flags(sf_dir: str):
     return blocklist_flags(ds, ["spark"])
 
 
+def _q_pack_texts(sf_dir: str):
+    """Shard materialization: pack assignment (distributed prefix sum) +
+    per-pack text concatenation in id order (stages/packing.
+    materialize_packs) -> (pack_id, pack_text, n_docs, total_tokens).
+    The slim assignment broadcasts; text rides only the assembling
+    groupby."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from wikidata_edit_history_ray.stages.packing import (materialize_packs,
+                                                          pack_sequences)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def tok(b):
+        return _pa.table({
+            "doc_id": b.column("doc_id"),
+            "ws": _pc.cast(_pc.count_substring_regex(
+                _pc.fill_null(b.column("text"), ""), pattern=r"\S+"),
+                _pa.int64())})
+
+    packed = pack_sequences(docs.map_batches(tok, batch_format="pyarrow"),
+                            token_col="ws", max_tokens=2048,
+                            order_col="doc_id")
+    return materialize_packs(docs, packed, token_col="ws")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG change-history pipeline (synthetic interleaved-doc corpus) ---
@@ -1419,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "apply_corpus_delta": _q_apply_corpus_delta,
         "blocklist_flags": _q_blocklist_flags,
+        "pack_texts": _q_pack_texts,
     }
 
 
@@ -2377,5 +2407,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        WHERE tok IN ('spark')) THEN 1 ELSE 0 END
                      AS BIGINT) AS blocked
             FROM documents d
+        """,
+        "pack_texts": """
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                 '\\S+')) AS BIGINT) AS ws,
+                     SUM(CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                     '\\S+')) AS BIGINT))
+                         OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT CAST((cum - ws) // 2048 AS BIGINT) AS pack_id,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS pack_text,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS total_tokens
+            FROM w GROUP BY 1
         """,
     }

@@ -42,6 +42,7 @@ SUBSET = [
     "corpus_diff",
     "apply_corpus_delta",
     "blocklist_flags",
+    "pack_texts",
 ]
 
 

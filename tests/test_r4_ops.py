@@ -872,3 +872,50 @@ class TestBlocklistFlags:
         ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError, match="empty blocklist"):
             blocklist_flags(ds, [])
+
+
+class TestMaterializePacks:
+    def test_shards_match_sequential_reference(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import (
+            materialize_packs, pack_sequences)
+
+        texts = {i: " ".join("w%d" % j for j in range(3 + i % 4))
+                 for i in range(40)}
+        docs = ray.data.from_arrow(pa.table(
+            {"doc_id": list(texts), "text": list(texts.values())}),
+            override_num_blocks=5)
+        slim = ray.data.from_arrow(pa.table(
+            {"doc_id": list(texts),
+             "ws": [len(t.split()) for t in texts.values()]}))
+        packed = pack_sequences(slim, token_col="ws", max_tokens=10,
+                                order_col="doc_id")
+        out = materialize_packs(docs, packed, token_col="ws") \
+            .to_pandas().set_index("pack_id").sort_index()
+        # sequential reference
+        cum, shards = 0, {}
+        for d in sorted(texts):
+            ws = len(texts[d].split())
+            pid = cum // 10
+            shards.setdefault(pid, []).append(d)
+            cum += ws
+        for pid, members in shards.items():
+            row = out.loc[pid]
+            assert row.n_docs == len(members)
+            assert row.pack_text == "\n".join(texts[d] for d in members)
+            assert row.total_tokens == sum(
+                len(texts[d].split()) for d in members)
+
+    def test_assignment_above_broadcast_limit_refused(self, ray_session):
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.packing import \
+            materialize_packs
+
+        docs = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2], "text": ["a", "b"]}))
+        packed = ray.data.from_arrow(pa.table(
+            {"doc_id": [1, 2], "ws": [1, 1], "pack_id": [0, 0]}))
+        with pytest.raises(NotImplementedError, match="broadcast limit"):
+            materialize_packs(docs, packed, broadcast_limit=1)

@@ -168,3 +168,77 @@ def interleaved_span_pack(docs_ds, max_tokens: int = 2048,
             "pack_id": batch.column("pack_id")})
 
     return packed.map_batches(decode, batch_format="pyarrow")
+
+
+def materialize_packs(docs_ds, packed_ds, text_col: str = "text",
+                      order_col: str = "doc_id", token_col: str | None = None,
+                      sep: str = "\n",
+                      broadcast_limit: int = 10_000_000,
+                      buckets: int | None = None):
+    """The producer step after pack assignment: concatenate each pack's
+    document texts (in `order_col` order, `sep`-joined) into one training
+    shard row -> Dataset of (pack_id, pack_text, n_docs[, total_tokens]).
+
+    100-TB shape: the (order, pack_id[, tokens]) assignment is SLIM — it
+    broadcasts (block refs, dicts built once per worker; ~24 bytes/doc).
+    Beyond `broadcast_limit` assignment rows the op refuses loudly rather
+    than silently materializing too much on workers — the bucketed
+    order-hash join is the documented extension seam. The TEXT rides
+    exactly one shuffle: the groupby(pack_id) that assembles shards —
+    the op's output contract, not overhead; pack sizes are bounded by the
+    token budget, so no reduce group exceeds ~max_tokens of text."""
+    from .distributed import _get_broadcast_dict, broadcast_dataset
+
+    n_assign = packed_ds.count()
+    if n_assign > broadcast_limit:
+        raise NotImplementedError(
+            f"materialize_packs: {n_assign} assignment rows exceed the "
+            f"broadcast limit {broadcast_limit}; wire the bucketed "
+            f"order-hash join here (stages/distributed gather machinery) "
+            f"for corpora beyond that size per job")
+    pack_refs = broadcast_dataset(
+        packed_ds.select_columns([order_col, "pack_id"]))
+    tok_refs = (broadcast_dataset(
+        packed_ds.select_columns([order_col, token_col]))
+        if token_col is not None else None)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pmap = _get_broadcast_dict(pack_refs, order_col, "pack_id")
+        tmap = (_get_broadcast_dict(tok_refs, order_col, token_col)
+                if tok_refs is not None else None)
+        ids = batch.column(order_col).to_pylist()
+        keep, packs, toks = [], [], []
+        for i, d in enumerate(ids):
+            p = pmap.get(d)
+            if p is None:
+                continue  # doc not packed (filtered upstream)
+            keep.append(i)
+            packs.append(p)
+            if tmap is not None:
+                toks.append(tmap[d])
+        out = batch.take(pa.array(keep, type=pa.int64()))
+        out = out.append_column("pack_id", pa.array(packs, type=pa.int64()))
+        if tmap is not None:
+            out = out.append_column("_tok",
+                                    pa.array(toks, type=pa.int64()))
+        return out
+
+    def assemble(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group.column(order_col).to_pylist()))
+        texts = group.column(text_col).to_pylist()
+        joined = sep.join((texts[i] or "") for i in order)
+        cols = {
+            "pack_id": pa.array([group.column("pack_id")[0].as_py()],
+                                type=pa.int64()),
+            "pack_text": pa.array([joined], type=pa.string()),
+            "n_docs": pa.array([group.num_rows], type=pa.int64()),
+        }
+        if "_tok" in group.schema.names:
+            import pyarrow.compute as pc
+            cols["total_tokens"] = pa.array(
+                [pc.sum(group.column("_tok")).as_py() or 0],
+                type=pa.int64())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(attach, batch_format="pyarrow") \
+        .groupby("pack_id").map_groups(assemble, batch_format="pyarrow")
