@@ -907,15 +907,27 @@ class TestMaterializePacks:
             assert row.total_tokens == sum(
                 len(texts[d].split()) for d in members)
 
-    def test_assignment_above_broadcast_limit_refused(self, ray_session):
+    def test_shuffle_path_equals_broadcast(self, ray_session):
+        """Forcing the beyond-broadcast bucketed join (broadcast_limit=0)
+        must produce the identical shards."""
         import ray.data
 
-        from wikidata_edit_history_ray.stages.packing import \
-            materialize_packs
+        from wikidata_edit_history_ray.stages.packing import (
+            materialize_packs, pack_sequences)
 
+        texts = {i: " ".join("x%d" % j for j in range(2 + i % 5))
+                 for i in range(60)}
         docs = ray.data.from_arrow(pa.table(
-            {"doc_id": [1, 2], "text": ["a", "b"]}))
-        packed = ray.data.from_arrow(pa.table(
-            {"doc_id": [1, 2], "ws": [1, 1], "pack_id": [0, 0]}))
-        with pytest.raises(NotImplementedError, match="broadcast limit"):
-            materialize_packs(docs, packed, broadcast_limit=1)
+            {"doc_id": list(texts), "text": list(texts.values())}),
+            override_num_blocks=4)
+        slim = ray.data.from_arrow(pa.table(
+            {"doc_id": list(texts),
+             "ws": [len(t.split()) for t in texts.values()]}))
+        packed = pack_sequences(slim, token_col="ws", max_tokens=12,
+                                order_col="doc_id")
+        a = materialize_packs(docs, packed, token_col="ws") \
+            .to_pandas().sort_values("pack_id").reset_index(drop=True)
+        b = materialize_packs(docs, packed, token_col="ws",
+                              broadcast_limit=0, buckets=5) \
+            .to_pandas().sort_values("pack_id").reset_index(drop=True)
+        assert a.equals(b)

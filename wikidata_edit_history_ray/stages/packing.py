@@ -181,21 +181,26 @@ def materialize_packs(docs_ds, packed_ds, text_col: str = "text",
 
     100-TB shape: the (order, pack_id[, tokens]) assignment is SLIM — it
     broadcasts (block refs, dicts built once per worker; ~24 bytes/doc).
-    Beyond `broadcast_limit` assignment rows the op refuses loudly rather
-    than silently materializing too much on workers — the bucketed
-    order-hash join is the documented extension seam. The TEXT rides
-    exactly one shuffle: the groupby(pack_id) that assembles shards —
-    the op's output contract, not overhead; pack sizes are bounded by the
-    token budget, so no reduce group exceeds ~max_tokens of text."""
-    from .distributed import _get_broadcast_dict, broadcast_dataset
+    Beyond `broadcast_limit` assignment rows the op switches to a bucketed
+    order-hash co-partition (differentially tested equal): the text then
+    pays one extra attach shuffle before the assembling groupby(pack_id)
+    — which is the op's output contract, not overhead; pack sizes are
+    bounded by the token budget, so no reduce group exceeds ~max_tokens
+    of text."""
+    from .distributed import (_get_broadcast_dict, broadcast_dataset,
+                              default_reduce_buckets)
 
     n_assign = packed_ds.count()
     if n_assign > broadcast_limit:
-        raise NotImplementedError(
-            f"materialize_packs: {n_assign} assignment rows exceed the "
-            f"broadcast limit {broadcast_limit}; wire the bucketed "
-            f"order-hash join here (stages/distributed gather machinery) "
-            f"for corpora beyond that size per job")
+        # beyond-broadcast path: co-partition docs and assignment rows on
+        # an order-hash bucket and attach pack ids within each bucket —
+        # the text pays ONE extra shuffle (attach) before the assembling
+        # groupby; the slim assignment never centralizes anywhere
+        if buckets is None:
+            buckets = default_reduce_buckets()
+        return _materialize_packs_bucketed(
+            docs_ds, packed_ds, text_col, order_col, token_col, sep,
+            buckets)
     pack_refs = broadcast_dataset(
         packed_ds.select_columns([order_col, "pack_id"]))
     tok_refs = (broadcast_dataset(
@@ -241,4 +246,82 @@ def materialize_packs(docs_ds, packed_ds, text_col: str = "text",
         return pa.table(cols)
 
     return docs_ds.map_batches(attach, batch_format="pyarrow") \
+        .groupby("pack_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def _materialize_packs_bucketed(docs_ds, packed_ds, text_col, order_col,
+                                token_col, sep, buckets):
+    """Shuffle path of materialize_packs: union docs (+text payload) with
+    the slim assignment rows on an order-hash bucket, attach pack ids
+    locally per bucket, then the same assembling pack groupby.
+    Differentially tested equal to the broadcast path."""
+    import pyarrow.compute as pc
+
+    from .distributed import _hash_bucket_array
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(order_col)
+        return pa.table({
+            order_col: ids,
+            "_text": pa.array(batch.column(text_col).to_pylist(),
+                              type=pa.string()),
+            "pack_id": pa.nulls(batch.num_rows, type=pa.int64()),
+            "_tok": pa.nulls(batch.num_rows, type=pa.int64()),
+            "_is_doc": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "_b": _hash_bucket_array(ids.to_pylist(), buckets)})
+
+    def tag_assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(order_col)
+        toks = (pc.cast(batch.column(token_col), pa.int64())
+                if token_col is not None
+                else pa.nulls(batch.num_rows, type=pa.int64()))
+        return pa.table({
+            order_col: ids,
+            "_text": pa.nulls(batch.num_rows, type=pa.string()),
+            "pack_id": pc.cast(batch.column("pack_id"), pa.int64()),
+            "_tok": toks,
+            "_is_doc": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "_b": _hash_bucket_array(ids.to_pylist(), buckets)})
+
+    def bucket_attach(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group.column("_is_doc"), 1)
+        docs = group.filter(is_doc)
+        assign = group.filter(pc.invert(is_doc))
+        pmap = dict(zip(assign.column(order_col).to_pylist(),
+                        zip(assign.column("pack_id").to_pylist(),
+                            assign.column("_tok").to_pylist())))
+        keep, packs, toks = [], [], []
+        for i, d in enumerate(docs.column(order_col).to_pylist()):
+            hit = pmap.get(d)
+            if hit is None:
+                continue
+            keep.append(i)
+            packs.append(hit[0])
+            toks.append(hit[1])
+        kept = docs.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            order_col: kept.column(order_col),
+            "_text": kept.column("_text"),
+            "pack_id": pa.array(packs, type=pa.int64()),
+            "_tok": pa.array(toks, type=pa.int64())})
+
+    def assemble(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group.column(order_col).to_pylist()))
+        texts = group.column("_text").to_pylist()
+        joined = sep.join((texts[i] or "") for i in order)
+        cols = {
+            "pack_id": pa.array([group.column("pack_id")[0].as_py()],
+                                type=pa.int64()),
+            "pack_text": pa.array([joined], type=pa.string()),
+            "n_docs": pa.array([group.num_rows], type=pa.int64()),
+        }
+        if token_col is not None:
+            cols["total_tokens"] = pa.array(
+                [pc.sum(group.column("_tok")).as_py() or 0],
+                type=pa.int64())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(tag_docs, batch_format="pyarrow") \
+        .union(packed_ds.map_batches(tag_assign, batch_format="pyarrow")) \
+        .groupby("_b").map_groups(bucket_attach, batch_format="pyarrow") \
         .groupby("pack_id").map_groups(assemble, batch_format="pyarrow")
