@@ -79,6 +79,16 @@ def connected_components(nodes, edges, node_col: str = "node",
 
     # ---- slim + int64-normalize the edge pairs once ------------------------
     def slim(batch: pa.Table) -> pa.Table:
+        for c in (src_col, dst_col):
+            t = batch.column(c).type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                # loud: a string endpoint would otherwise surface as an
+                # opaque ValueError deep inside the astype below — string
+                # ids must be rank-mapped first (see dedup_ops.
+                # _canonical_filter_from_edges for the order-preserving map)
+                raise TypeError(
+                    f"connected_components needs integer edge endpoints; "
+                    f"{c!r} is {t} — map string ids to dense ints first")
         s = batch.column(src_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         d = batch.column(dst_col).to_numpy(zero_copy_only=False) \

@@ -439,6 +439,26 @@ def near_dup_canonical_filter(ds, text_col: str = "text",
 
     edges = minhash_lsh_verified_edges(
         ds, text_col=text_col, id_col=id_col, **lsh_kwargs).materialize()
+    return _canonical_filter_from_edges(ds, edges, id_col)
+
+
+def _canonical_filter_from_edges(ds, edges, id_col: str,
+                                 string_node_limit: int = 5_000_000):
+    """Shared tail of near_dup_canonical_filter: verified (cand_a, cand_b)
+    edge Dataset -> connected components -> anti-join of every
+    non-representative cluster member out of `ds`.
+
+    connected_components needs int64 node ids (its min-label propagation is
+    integer arithmetic); when the corpus keys docs by STRING ids, the
+    edge-touched node set — edge-sized, never corpus-sized — is remapped to
+    its lexicographic rank. The rank map is order-preserving, so min-rank
+    selects exactly the min-string representative. The distinct node
+    strings come to the driver once (guarded by `string_node_limit`, the
+    same small-side economics as the CC broadcast path — dup edges touch a
+    few percent of corpus rows) and ship back as ONE sorted broadcast
+    array; beyond the guard the op raises loudly (use integer ids for the
+    scale path)."""
+    from .cluster import connected_components
 
     def endpoints(batch: pa.Table) -> pa.Table:
         vals = pa.concat_arrays(
@@ -449,14 +469,57 @@ def near_dup_canonical_filter(ds, text_col: str = "text",
     # distinct endpoints via a groupby (edge-sized, stays off the driver)
     nodes = edges.map_batches(endpoints, batch_format="pyarrow") \
         .groupby("node").count().select_columns(["node"])
+
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+    rank_ref = None
+    if pa.types.is_string(id_type) or pa.types.is_large_string(id_type):
+        import ray
+
+        n_nodes = nodes.count()
+        if n_nodes > string_node_limit:
+            raise ValueError(
+                f"near_dup_canonical_filter: {n_nodes} distinct string-id "
+                f"edge endpoints exceed string_node_limit="
+                f"{string_node_limit} — the order-preserving string->rank "
+                f"map would not fit the driver; key the corpus by integer "
+                f"ids (the scale path) or raise the limit explicitly")
+        vals = nodes.to_pandas()["node"].to_numpy(dtype=object)
+        vals = vals[np.argsort(vals)]
+        sorted_vals = pa.array(vals, type=pa.string())
+        rank_ref = ray.put(sorted_vals)
+
+        def remap_edges(batch: pa.Table) -> pa.Table:
+            vs = ray.get(rank_ref)  # zero-copy from the local store
+            return pa.table({
+                "cand_a": pc.cast(pc.index_in(
+                    batch.column("cand_a"), value_set=vs), pa.int64()),
+                "cand_b": pc.cast(pc.index_in(
+                    batch.column("cand_b"), value_set=vs), pa.int64())})
+
+        edges = edges.map_batches(remap_edges, batch_format="pyarrow")
+        import ray.data
+
+        nodes = ray.data.range(n_nodes).map_batches(
+            lambda b: pa.table(
+                {"node": pc.cast(b.column("id"), pa.int64())}),
+            batch_format="pyarrow")
+
     cc = connected_components(nodes, edges, node_col="node",
                               src_col="cand_a", dst_col="cand_b")
 
     def losers(batch: pa.Table) -> pa.Table:
         keep = pc.not_equal(batch.column("node"), batch.column("cluster_id"))
-        return pa.table({"drop_id": batch.filter(keep).column("node")})
+        drops = batch.filter(keep).column("node").combine_chunks()
+        if rank_ref is not None:
+            import ray
+
+            drops = ray.get(rank_ref).take(drops)
+        return pa.table({"drop_id": drops})
 
     drop = cc.map_batches(losers, batch_format="pyarrow")
+    from .distributed import filter_out_ids
+
     return filter_out_ids(ds, drop, id_col)
 
 

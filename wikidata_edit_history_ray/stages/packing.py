@@ -173,24 +173,35 @@ def interleaved_span_pack(docs_ds, max_tokens: int = 2048,
 def materialize_packs(docs_ds, packed_ds, text_col: str = "text",
                       order_col: str = "doc_id", token_col: str | None = None,
                       sep: str = "\n",
-                      broadcast_limit: int = 10_000_000,
+                      broadcast_limit: int = 2_000_000,
                       buckets: int | None = None):
     """The producer step after pack assignment: concatenate each pack's
     document texts (in `order_col` order, `sep`-joined) into one training
     shard row -> Dataset of (pack_id, pack_text, n_docs[, total_tokens]).
 
     100-TB shape: the (order, pack_id[, tokens]) assignment is SLIM — it
-    broadcasts (block refs, dicts built once per worker; ~24 bytes/doc).
+    broadcasts (block refs, dicts built once per worker; ~24 bytes/doc,
+    so the 2M default — aligned with the other dual-path ops' broadcast
+    limits — keeps each worker's lookup dict under ~100 MB of heap).
     Beyond `broadcast_limit` assignment rows the op switches to a bucketed
     order-hash co-partition (differentially tested equal): the text then
     pays one extra attach shuffle before the assembling groupby(pack_id)
     — which is the op's output contract, not overhead; pack sizes are
     bounded by the token budget, so no reduce group exceeds ~max_tokens
-    of text."""
+    of text.
+
+    The slim assignment projection is materialized ONCE up front: both the
+    path-choosing count and the chosen path read the pinned copy, so the
+    upstream pack-assignment lineage (in a composed pipeline, the whole
+    dedup chain) executes exactly once and the routing count always matches
+    the rows actually attached."""
     from .distributed import (_get_broadcast_dict, broadcast_dataset,
                               default_reduce_buckets)
 
-    n_assign = packed_ds.count()
+    slim_cols = [order_col, "pack_id"] + (
+        [token_col] if token_col is not None else [])
+    assign_slim = packed_ds.select_columns(slim_cols).materialize()
+    n_assign = assign_slim.count()
     if n_assign > broadcast_limit:
         # beyond-broadcast path: co-partition docs and assignment rows on
         # an order-hash bucket and attach pack ids within each bucket —
@@ -199,12 +210,12 @@ def materialize_packs(docs_ds, packed_ds, text_col: str = "text",
         if buckets is None:
             buckets = default_reduce_buckets()
         return _materialize_packs_bucketed(
-            docs_ds, packed_ds, text_col, order_col, token_col, sep,
+            docs_ds, assign_slim, text_col, order_col, token_col, sep,
             buckets)
     pack_refs = broadcast_dataset(
-        packed_ds.select_columns([order_col, "pack_id"]))
+        assign_slim.select_columns([order_col, "pack_id"]))
     tok_refs = (broadcast_dataset(
-        packed_ds.select_columns([order_col, token_col]))
+        assign_slim.select_columns([order_col, token_col]))
         if token_col is not None else None)
 
     def attach(batch: pa.Table) -> pa.Table:

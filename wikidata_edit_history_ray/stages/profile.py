@@ -36,6 +36,13 @@ def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     import ray.data
 
     schema = ds.schema()
+    if schema is None:
+        # fully-empty upstream (a filter chain that dropped every row)
+        # yields blocks with no schema at all — same contract as
+        # pack_sequences: return the typed empty result
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([], type=pa.float64()),
+            "value": pa.array([], type=pa.int64())}))
     col_type = schema.types[schema.names.index(col)]
     if not pa.types.is_integer(col_type):
         raise TypeError(
@@ -100,6 +107,15 @@ def grouped_quantiles(ds, col: str, group_col: str,
     import pandas as pd
 
     schema = ds.schema()
+    if schema is None:
+        # schema-less fully-empty upstream (pack_sequences contract): the
+        # group column's type is unknowable — string is the documented
+        # placeholder for the zero-row result
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            group_col: pa.array([], type=pa.string()),
+            "q": pa.array([], type=pa.float64()),
+            "value": pa.array([], type=pa.int64())}))
     col_type = schema.types[schema.names.index(col)]
     if not pa.types.is_integer(col_type):
         raise TypeError(

@@ -10,6 +10,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# per-chunk element budget for the semdedup cluster scan's similarity
+# temporaries (floats, ~32 MB) — module-level so tests can pin it down and
+# exercise the chunked path on small planted clusters
+_SCAN_CHUNK_ELEMS = 4_000_000
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=-1, keepdims=True)
@@ -341,6 +346,7 @@ def semdedup(ds, k: int = 8, threshold: float = 0.9,
     if centroids is None:
         centroids = _k_lowest_id_vectors(ds, k, vec_col, id_col)
     C = np.asarray(centroids, dtype=np.float64)
+    scan_chunk_elems = _SCAN_CHUNK_ELEMS  # bind at call time (test-pinnable)
 
     def assign_with_vec(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
@@ -361,10 +367,25 @@ def semdedup(ds, k: int = 8, threshold: float = 0.9,
         X = _vec_matrix(group.column(vec_col))[order]
         ids_sorted = [ids[i] for i in order]
         norms = np.sqrt((X * X).sum(axis=1))
-        S = np.round((X @ X.T) / np.outer(norms, norms), 6)
-        # dup[i] = any lower-id j with S[j, i] > threshold: strict upper
-        # triangle, reduced down the columns — no Python row loop
-        dup = np.triu(S > threshold, 1).any(axis=0).astype(np.int64)
+        n = len(ids_sorted)
+        # dup[i] = any lower-id j with S[j, i] > threshold. The strict
+        # upper triangle is scanned in COLUMN CHUNKS — columns [s, e)
+        # against all rows below the diagonal, i.e. X[:e] — so a skewed
+        # hot cluster streams through (n x chunk) temporaries bounded at
+        # _SCAN_CHUNK_ELEMS floats (~32 MB) instead of materializing the
+        # full c x c similarity matrix (a 1M-row cluster would be 8 TB).
+        # Arithmetic per element is IDENTICAL to the unchunked
+        # (X @ X.T) / outer(norms, norms): same d-length dot reduction,
+        # same elementwise divide, so the round(.., 6) decision bits match
+        # the oracle exactly.
+        dup = np.zeros(n, dtype=np.int64)
+        chunk = max(1, scan_chunk_elems // max(1, n))
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            S = np.round((X[:e] @ X[s:e].T)
+                         / np.outer(norms[:e], norms[s:e]), 6)
+            mask = np.arange(e)[:, None] < np.arange(s, e)[None, :]
+            dup[s:e] = ((S > threshold) & mask).any(axis=0)
         id_type = group.schema.field(id_col).type
         return pa.table({
             id_col: pa.array(ids_sorted, type=id_type),
