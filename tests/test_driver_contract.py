@@ -1,7 +1,8 @@
-"""In-repo replica of the driver's side-by-side comparison: run a
-representative subset of queries() and their oracle_sql() through DuckDB at
-sf0.001 and require exact (rows, schema, values) matches — the same gate
-CORRECTNESS_r{N}.json applies at sf0.01.
+"""In-repo replica of the driver's side-by-side comparison: run EVERY
+queries() entry and its oracle_sql() through DuckDB at sf0.001 and require
+exact (rows, schema, values) matches — the same gate CORRECTNESS_r{N}.json
+applies at sf0.01. SUBSET enumerates queries() dynamically so a new query
+can never ship driver-unverified.
 """
 import duckdb
 import pandas as pd
@@ -9,41 +10,14 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-# representative slice: KG differ tables, aggregates, graph replay, dedup,
-# errors, ANN — one per oracle family (full sweep is the driver's job)
-SUBSET = [
-    "kg_value_change",
-    "kg_revision",
-    "kg_entity_stats",
-    "kg_graph_triples",
-    "kg_features_text",
-    "kg_errors",
-    "kg_revision_distribution",
-    "kg_graph_asof",
-    "kg_media_features",
-    "media_frame_samples",
-    "minhash_dedup_docs",
-    "embedding_dedup",
-    "ivf_topk",
-    "events_type_stats",
-    "text_analysis",
-    "pack_sequences",
-    "llm_corpus_prep",
-    "unigram_logprob",
-    "kmeans_assign",
-    "events_sessionize",
-    "chunk_dedup",
-    "weighted_sample",
-    "corpus_mix",
-    "semdedup",
-    "dsir_logratio",
-    "epoch_shuffle",
-    "epoch_pack",
-    "corpus_diff",
-    "apply_corpus_delta",
-    "blocklist_flags",
-    "pack_texts",
-]
+
+def _all_query_names():
+    import __ray_entry__ as E
+
+    return sorted(E.queries())
+
+
+SUBSET = _all_query_names()
 
 
 @pytest.fixture(scope="module")
