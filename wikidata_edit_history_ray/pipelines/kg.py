@@ -194,15 +194,32 @@ def materialize_graph(value_change_ds, salt_buckets: int = 0):
 
     partial = value_change_ds.map_batches(local_last, batch_format="pyarrow")
 
-    def replay_bucket(group):
+    def replay_bucket(group: pa.Table) -> pa.Table:
         # all of a statement's partials land in its bucket: replay per bucket
-        # with one vectorized pandas pass, not one task per statement
-        g = group.sort_values("revision_id").groupby(key_cols, as_index=False).tail(1)
-        g = g[g["action"] != "DELETE"].drop(columns=["_salt"])
-        return g.rename(columns={"entity_id": "subj", "property_id": "pred",
-                                 "new_value": "obj"})
+        # with one vectorized Arrow pass, not one task per statement — sort
+        # by (key, revision) and keep each key run's LAST row
+        import pyarrow.compute as pc
 
-    return partial.groupby("_salt").map_groups(replay_bucket, batch_format="pandas")
+        from ..stages.distributed import adjacent_equal_mask
+
+        idx = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in key_cols]
+            + [("revision_id", "ascending")])
+        g = group.take(idx)
+        if g.num_rows:
+            same = adjacent_equal_mask(g, key_cols)
+            is_last = np.concatenate([~same, [True]])
+            keep = is_last & pc.fill_null(pc.not_equal(
+                g.column("action"), "DELETE"), True).to_numpy(
+                zero_copy_only=False)
+            g = g.filter(pa.array(keep))
+        g = g.drop_columns(["_salt"])
+        return g.rename_columns(
+            [{"entity_id": "subj", "property_id": "pred",
+              "new_value": "obj"}.get(c, c) for c in g.schema.names])
+
+    return partial.groupby("_salt").map_groups(replay_bucket,
+                                               batch_format="pyarrow")
 
 
 def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
@@ -238,12 +255,22 @@ def dedup_changes(ds, pk_cols, salt_buckets: int = 0):
 
     ds = ds.map_batches(drop_local_dupes, batch_format="pyarrow")
 
-    def dedup_bucket(group):
-        # one pandas drop_duplicates per BUCKET (not per PK) — all duplicates
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        # one vectorized keep-first per BUCKET (not per PK) — all duplicates
         # of a key share its bucket, so this is exact with ~buckets groups
-        # instead of one group per distinct key
-        g = group.sort_values(pk_cols, kind="stable")
-        g = g.drop_duplicates(subset=pk_cols, keep="first")
-        return g.drop(columns=["_salt"])
+        # instead of one group per distinct key; Arrow end to end, so the
+        # shuffled blocks keep their exact types
+        import pyarrow.compute as pc
 
-    return ds.groupby("_salt").map_groups(dedup_bucket, batch_format="pandas")
+        from ..stages.distributed import adjacent_equal_mask
+
+        idx = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in pk_cols])
+        g = group.take(idx)
+        if g.num_rows:
+            same = adjacent_equal_mask(g, pk_cols)
+            g = g.filter(pa.array(np.concatenate([[True], ~same])))
+        return g.drop_columns(["_salt"])
+
+    return ds.groupby("_salt").map_groups(dedup_bucket,
+                                          batch_format="pyarrow")

@@ -33,6 +33,27 @@ def default_reduce_buckets(minimum: int = 64) -> int:
     return minimum
 
 
+def adjacent_equal_mask(table: pa.Table, cols) -> np.ndarray:
+    """For a SORTED table, a boolean mask of length n-1: True where row i+1
+    equals row i on every column in `cols`, with SQL GROUP BY null semantics
+    (null == null). The shared segmentation kernel for Arrow-format shuffle
+    reducers: one slice-compare per key column, no pandas round-trip, no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    same = np.ones(max(0, n - 1), dtype=bool)
+    if n <= 1:
+        return same
+    for c in cols:
+        a = table.column(c).combine_chunks()
+        eq = pc.fill_null(pc.equal(a.slice(1), a.slice(0, n - 1)), False) \
+            .to_numpy(zero_copy_only=False)
+        isnull = pc.is_null(a).to_numpy(zero_copy_only=False)
+        same &= eq | (isnull[1:] & isnull[:-1])
+    return same
+
+
 # per-worker cache of fetched broadcast tables, keyed by the ref tuple
 _BCAST_CACHE: dict = {}
 

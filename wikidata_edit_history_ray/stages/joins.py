@@ -99,26 +99,51 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         right_ds.select_columns([key_col, ts_col] + right_value_cols)
         .map_batches(tag_right, batch_format="pyarrow"))
 
-    filled = [oc for _, oc, _ in out_cols]
-    # one FIXED output schema for every bucket: right rows null-pad the
-    # left-only columns so pandas coerces them (ints to float64 with NaN),
-    # and per-group dtype inference would let each bucket emit different
-    # column types — instead every bucket casts back to the declared schema
-    # (convert_dtypes first so NaN misses become real Arrow nulls, which
-    # cast into nullable int/float columns; a bare float->int cast of NaN
-    # would throw)
+    # one FIXED output schema for every bucket — the union schema already
+    # carries every column at its declared Arrow type, and the Arrow-format
+    # reducer below only ever `take`s from those columns, so no per-group
+    # dtype inference and no pandas float64 coercion can occur
     out_schema = pa.schema(list(zip(l_schema.names, l_schema.types))
                            + [(oc, t) for _, oc, t in out_cols])
 
-    def join_bucket(group):
-        # right rows (side 0) sort before left rows at equal (key, ts), so a
-        # per-key forward fill realizes "greatest right.ts <= left.ts"
-        g = group.sort_values([key_col, ts_col, "_side"], kind="mergesort")
-        g[filled] = g.groupby(key_col, sort=False)[filled].ffill()
-        g = g[g["_side"] == 1].drop(columns=["_side", "_jb"])
-        t = pa.Table.from_pandas(g.convert_dtypes(), preserve_index=False)
-        cols = [t.column(name).cast(typ)
-                for name, typ in zip(out_schema.names, out_schema.types)]
-        return pa.Table.from_arrays(cols, schema=out_schema)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # right rows (side 0) sort before left rows at equal (key, ts), so
+        # "index of the latest right row so far within the key segment" —
+        # one vectorized maximum.accumulate over segment-offset scores —
+        # realizes "greatest right.ts <= left.ts" with ties matching
+        import pyarrow.compute as pc
 
-    return unioned.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
+        from .distributed import adjacent_equal_mask
+
+        idx = pc.sort_indices(group, sort_keys=[(key_col, "ascending"),
+                                                (ts_col, "ascending"),
+                                                ("_side", "ascending")])
+        g = group.take(idx)
+        n = g.num_rows
+        side = g.column("_side").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], ~adjacent_equal_mask(g, [key_col])]) \
+            if n else np.zeros(0, dtype=bool)
+        seg_id = np.cumsum(new_key) - 1 if n else np.zeros(0, dtype=np.int64)
+        base = seg_id.astype(np.int64) * np.int64(n + 1)
+        rows = np.arange(n, dtype=np.int64)
+        # score = segment-offset right-row index + 1; left rows contribute 0,
+        # so the running max at a left row is the latest right row at or
+        # before it IN ITS SEGMENT (scores from earlier segments are < base)
+        score = np.where(side == 0, base + rows + 1, 0)
+        acc = np.maximum.accumulate(score) if n else score
+        left_rows = rows[side == 1]
+        match = acc[left_rows] - base[left_rows] - 1   # -1 = no right row yet
+        # SQL ON l.k = r.k never matches NULL keys (the segment kernel
+        # groups nulls together — correct for PARTITION BY, not for a join)
+        key_null = pc.is_null(g.column(key_col)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        match = np.where(key_null[left_rows], -1, match)
+        left_take = pa.array(left_rows, type=pa.int64())
+        fill_take = pa.array(match, type=pa.int64(), mask=match < 0)
+        arrays = [g.column(name).take(left_take) for name in l_schema.names]
+        arrays += [g.column(oc).take(fill_take) for _, oc, _ in out_cols]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return unioned.groupby("_jb").map_groups(join_bucket,
+                                             batch_format="pyarrow")

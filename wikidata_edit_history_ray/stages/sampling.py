@@ -18,6 +18,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _md5_rank(ids) -> list:
@@ -103,12 +104,14 @@ def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id",
         df["_sk"] = _strat_key_column(df, stratum_col)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def final_topk(group):
-        g = group.sort_values("_rk", kind="mergesort").head(k)
-        return g.drop(columns=["_rk", "_sk"])
+    def final_topk(group: pa.Table) -> pa.Table:
+        # Arrow reduce: stable sort + head — the shuffled partials keep
+        # their exact types, no pandas round-trip per group batch
+        idx = pc.sort_indices(group, sort_keys=[("_rk", "ascending")])
+        return group.take(idx[:k]).drop_columns(["_rk", "_sk"])
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("_sk").map_groups(final_topk, batch_format="pandas")
+        .groupby("_sk").map_groups(final_topk, batch_format="pyarrow")
 
 
 def hash_split(ds, id_col: str = "doc_id",
@@ -222,14 +225,14 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
         df["_sk"] = _strat_key_column(df, strat)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def final_topk(group):
-        g = group.sort_values(["_wk", id_col], ascending=[False, True],
-                              kind="mergesort").head(k)
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_wk", "descending"),
+                                                (id_col, "ascending")])
         drop = ["_wk", "_sk"] + (["_stratum"] if stratum_col is None else [])
-        return g.drop(columns=drop)
+        return group.take(idx[:k]).drop_columns(drop)
 
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("_sk").map_groups(final_topk, batch_format="pandas")
+        .groupby("_sk").map_groups(final_topk, batch_format="pyarrow")
 
 
 def corpus_mix(ds, group_col: str, targets: dict, total: int,
@@ -277,13 +280,13 @@ def corpus_mix(ds, group_col: str, targets: dict, total: int,
         return pa.Table.from_pandas(df, preserve_index=False) \
             .cast(_out_schema(batch.schema))
 
-    def final_topq(group):
-        q = quotas[group[group_col].iloc[0]]
-        g = group.sort_values("_rk", kind="mergesort").head(q)
-        return g.drop(columns=["_rk"])
+    def final_topq(group: pa.Table) -> pa.Table:
+        q = quotas[group.column(group_col)[0].as_py()]
+        idx = pc.sort_indices(group, sort_keys=[("_rk", "ascending")])
+        return group.take(idx[:q]).drop_columns(["_rk"])
 
     out = ds.map_batches(local_topq, batch_format="pyarrow") \
-        .groupby(group_col).map_groups(final_topq, batch_format="pandas")
+        .groupby(group_col).map_groups(final_topq, batch_format="pyarrow")
     # when NO row matches any targeted group the groupby emits zero blocks
     # and the dataset loses its schema entirely (downstream select_columns
     # crashes) — union one typed empty block so an all-dropped mix still

@@ -17,21 +17,24 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _ts_to_us(ser, op_name: str, ts_col: str) -> np.ndarray:
-    """Pandas ts series -> int64 epoch MICROSECONDS. Numeric columns are
+def _ts_to_us(col: pa.ChunkedArray, op_name: str, ts_col: str) -> np.ndarray:
+    """Arrow ts column -> int64 epoch MICROSECONDS. Numeric columns are
     epoch SECONDS (the unit every *_seconds parameter uses); blind
     datetime64[us] reinterpretation would make windows 1e6x too wide."""
-    import pandas.api.types as pdt
-
-    if pdt.is_datetime64_any_dtype(ser):
-        return ser.to_numpy().astype("datetime64[us]").astype(np.int64)
-    if pdt.is_numeric_dtype(ser):
-        return np.round(ser.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        v = col.combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return np.round(v * 1e6).astype(np.int64)
     raise TypeError(
         f"{op_name}: ts column {ts_col!r} must be a timestamp or numeric "
-        f"epoch-seconds column, got {ser.dtype}")
+        f"epoch-seconds column, got {t}")
 
 
 def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
@@ -47,17 +50,22 @@ def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
             "_wb", _hash_bucket_array(batch.column(key_col).to_pylist(),
                                       buckets))
 
-    def window_bucket(group):
-        g = group.sort_values([key_col, ts_col], kind="mergesort")
-        n = len(g)
-        ts = _ts_to_us(g[ts_col], "sliding_window_sum", ts_col)
-        vals = g[value_col].to_numpy(dtype=np.float64)
-        keys = g[key_col].to_numpy()
+    def window_bucket(group: pa.Table) -> pa.Table:
+        from .distributed import adjacent_equal_mask
+
+        idx = pc.sort_indices(group, sort_keys=[(key_col, "ascending"),
+                                                (ts_col, "ascending")])
+        g = group.take(idx)
+        n = g.num_rows
+        ts = _ts_to_us(g.column(ts_col), "sliding_window_sum", ts_col)
+        vals = g.column(value_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
         win = np.int64(round(window_seconds * 1_000_000))
         # segment trick: shift each key's timestamps into its own disjoint
         # band, then ONE global searchsorted answers every per-key window —
-        # no per-key Python loop
-        new_key = np.concatenate([[False], keys[1:] != keys[:-1]]) \
+        # no per-key Python loop (null keys form one segment, SQL PARTITION
+        # BY semantics)
+        new_key = np.concatenate([[False], ~adjacent_equal_mask(g, [key_col])]) \
             if n > 1 else np.zeros(n, dtype=bool)
         seg_id = np.cumsum(new_key)
         tr = ts - (ts.min() if n else 0)
@@ -66,12 +74,11 @@ def sliding_window_sum(ds, key_col: str, ts_col: str, value_col: str,
         prefix = np.concatenate([[0.0], np.cumsum(vals)])
         lo = np.searchsorted(ts_adj, ts_adj - win, side="left")
         hi = np.searchsorted(ts_adj, ts_adj, side="right")  # peers in-frame
-        g = g.drop(columns=["_wb"]).copy()
-        g[out_col] = prefix[hi] - prefix[lo]
-        return g
+        return g.drop_columns(["_wb"]).append_column(
+            out_col, pa.array(prefix[hi] - prefix[lo], type=pa.float64()))
 
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("_wb").map_groups(window_bucket, batch_format="pandas")
+        .groupby("_wb").map_groups(window_bucket, batch_format="pyarrow")
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
@@ -105,29 +112,28 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
 
     sort_cols = [key_col, ts_col] + ([id_col] if id_col else [])
 
-    def session_bucket(group):
-        g = group.sort_values(sort_cols, kind="mergesort")
-        n = len(g)
+    def session_bucket(group: pa.Table) -> pa.Table:
+        from .distributed import adjacent_equal_mask
+
+        idx = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in sort_cols])
+        g = group.take(idx)
+        n = g.num_rows
         if n == 0:
-            g = g.drop(columns=["_sb"]).copy()
-            g[out_col] = np.array([], dtype=np.int64)
-            return g
-        ts = _ts_to_us(g[ts_col], "sessionize", ts_col)
-        keys = g[key_col].to_numpy()
-        # SQL PARTITION BY groups all NULL keys together; a null-padded
-        # int column surfaces here as float64 where NaN != NaN would make
-        # every null row its own key (and object-dtype None would group) —
-        # the key-change mask must treat null==null regardless of dtype
-        nulls = g[key_col].isna().to_numpy()
-        same = (keys[1:] == keys[:-1]) | (nulls[1:] & nulls[:-1])
+            return g.drop_columns(["_sb"]).append_column(
+                out_col, pa.array([], type=pa.int64()))
+        ts = _ts_to_us(g.column(ts_col), "sessionize", ts_col)
+        # SQL PARTITION BY groups all NULL keys together — the shared
+        # null==null segmentation kernel handles that uniformly
+        same = adjacent_equal_mask(g, [key_col])
         new_key = np.concatenate([[True], ~same])
         gap_break = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
         is_start = new_key | gap_break
         global_sid = np.cumsum(is_start)          # monotone non-decreasing
         key_base = np.maximum.accumulate(np.where(new_key, global_sid, 0))
-        g = g.drop(columns=["_sb"]).copy()
-        g[out_col] = (global_sid - key_base + 1).astype(np.int64)
-        return g
+        return g.drop_columns(["_sb"]).append_column(
+            out_col, pa.array((global_sid - key_base + 1).astype(np.int64),
+                              type=pa.int64()))
 
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("_sb").map_groups(session_bucket, batch_format="pandas")
+        .groupby("_sb").map_groups(session_bucket, batch_format="pyarrow")
