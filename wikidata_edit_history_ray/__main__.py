@@ -275,7 +275,10 @@ def main(argv=None):
     c.add_argument("--checkpoint-dir", default=None,
                    help="persist the slim post-filter (id, tokens) table "
                         "here; a rerun that finds it skips the whole "
-                        "dedup/decontamination chain and just re-packs")
+                        "dedup/decontamination chain and just re-packs. The "
+                        "verified near-dup edge set also checkpoints (to "
+                        "<dir>.edges), so a failure during decontamination "
+                        "or the gate resumes without redoing LSH")
     c.set_defaults(fn=cmd_corpus_prep)
 
     args = p.parse_args(argv)

@@ -104,13 +104,17 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     token counts on post-filter text, the split keeps `keep_split`, and
     packing orders by id over the surviving docs.
 
-    `checkpoint_dir` makes the expensive half RESUMABLE: the dedup /
-    decontamination / gate / split stages are corpus-GLOBAL (their state
-    spans every row), so the honest resume point is the slim surviving
-    (id, ws_token_count) table that feeds packing — it persists there
-    after the chain, and a rerun that finds it skips the chain entirely
-    and re-packs from the checkpoint (deterministic: packing is a pure
-    function of that table). ~16 bytes/surviving doc."""
+    `checkpoint_dir` makes the expensive half RESUMABLE at two rungs: the
+    dedup / decontamination / gate / split stages are corpus-GLOBAL (their
+    state spans every row), so the honest final resume point is the slim
+    surviving (id, ws_token_count) table that feeds packing — it persists
+    there after the chain, and a rerun that finds it skips the chain
+    entirely and re-packs from the checkpoint (deterministic: packing is a
+    pure function of that table; ~16 bytes/surviving doc). Beneath it, the
+    verified near-dup EDGE set — the chain's single most expensive stage —
+    checkpoints into `<checkpoint_dir>.edges` under its own fingerprint,
+    so a failure during decontamination or the gate resumes from the edges
+    instead of redoing LSH + verify."""
     import ray.data
 
     checkpoint_dir = checkpoint_dir or None  # "" must never glob the CWD
@@ -135,10 +139,27 @@ def llm_corpus_prep(docs, bench_docs, text_col: str = "text",
     if callable(bench_docs):
         bench_docs = bench_docs()
     d1 = exact_dedup(docs, text_col=text_col, id_col=id_col)
-    d2 = near_dup_canonical_filter(
-        d1, text_col=text_col, id_col=id_col,
-        num_perm=lsh_num_perm, bands=lsh_bands,
-        jaccard_threshold=jaccard_threshold, max_compare=max_compare)
+    lsh_kwargs = dict(num_perm=lsh_num_perm, bands=lsh_bands,
+                      jaccard_threshold=jaccard_threshold,
+                      max_compare=max_compare)
+    if checkpoint_dir is not None:
+        # the LSH -> verify pass dominates the chain's cost; persist its
+        # verified edge set (slim id pairs) under the same sentinel +
+        # fingerprint discipline so a failure DURING decontamination / gate
+        # resumes from the edges instead of redoing the whole dedup. The
+        # edge fingerprint carries only edge-affecting parameters — a rerun
+        # that changes decontam/gate/split params still reuses the edges.
+        edge_fp = _chain_fingerprint(
+            stage="near_dup_edges", text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold, lsh_num_perm=lsh_num_perm,
+            lsh_bands=lsh_bands, max_compare=max_compare, split_bands=None,
+            extra=checkpoint_extra)
+        d2 = _near_dup_with_edge_checkpoint(
+            d1, _edges_dir(checkpoint_dir), edge_fp, text_col, id_col,
+            lsh_kwargs)
+    else:
+        d2 = near_dup_canonical_filter(
+            d1, text_col=text_col, id_col=id_col, **lsh_kwargs)
     # 8-word grams (the GPT-3/FineWeb-style window): short grams flag every
     # doc sharing a common phrase with the benchmark — measured 413/500 docs
     # at n=3 on this corpus vs exactly the bench docs + their near-dups at
@@ -186,6 +207,45 @@ def _checkpoint_files(checkpoint_dir: str) -> list:
     import os
 
     return glob.glob(os.path.join(checkpoint_dir, "*.parquet"))
+
+
+def _edges_dir(checkpoint_dir: str) -> str:
+    """The verified-edge checkpoint lives in a SIBLING directory of the
+    survivor checkpoint (own sentinel, own fingerprint). A subdirectory
+    would be wrong: read_parquet(checkpoint_dir) recurses, so edge files
+    inside the survivor dir would ride into the survivor resume read."""
+    import os
+
+    return os.path.normpath(checkpoint_dir) + ".edges"
+
+
+def _near_dup_with_edge_checkpoint(d1, edges_dir: str, edge_fp: dict,
+                                   text_col: str, id_col: str,
+                                   lsh_kwargs: dict):
+    """near_dup_canonical_filter split at its natural resume point: the
+    verified (cand_a, cand_b) edge set is materialized anyway (the CC pass
+    iterates over it), so persisting it costs one slim parquet write. A
+    zero-edge corpus writes no files and is NOT marked resumable (redoing
+    LSH is then the honest cost — same rule as the survivor checkpoint)."""
+    import os
+
+    import ray.data
+
+    from ..stages.dedup_ops import (_canonical_filter_from_edges,
+                                    minhash_lsh_verified_edges)
+
+    if checkpoint_resume_state(edges_dir, edge_fp) is not None:
+        edges = ray.data.read_parquet(
+            edges_dir, columns=["cand_a", "cand_b"]).materialize()
+    else:
+        for stale in _checkpoint_files(edges_dir):
+            os.remove(stale)
+        edges = minhash_lsh_verified_edges(
+            d1, text_col=text_col, id_col=id_col, **lsh_kwargs).materialize()
+        edges.write_parquet(edges_dir)
+        if _checkpoint_files(edges_dir):
+            _write_checkpoint_sentinel(edges_dir, edge_fp)
+    return _canonical_filter_from_edges(d1, edges, id_col)
 
 
 _SENTINEL = "_SUCCESS.json"
