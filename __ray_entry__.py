@@ -1225,8 +1225,12 @@ def _q_epoch_pack(sf_dir: str):
     pos_refs = broadcast_dataset(pos)
 
     def attach(b):
+        import numpy as _np
+
         pmap = _get_broadcast_dict(pos_refs, "doc_id", "epoch_pos")
-        ep = [pmap[v] for v in b.column("doc_id").to_pylist()]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ep = _np.fromiter((pmap[int(v)] for v in ids), dtype=_np.int64,
+                          count=len(ids))
         return b.append_column("epoch_pos", _pa.array(ep, type=_pa.int64()))
 
     ordered = tok.map_batches(attach, batch_format="pyarrow")

@@ -654,6 +654,111 @@ def run_dedup_scale(sf_dir: str, num_cpus: int,
     return out
 
 
+def run_pack_scale(sf_dir: str, num_cpus: int,
+                   n_docs: int = DEDUP_SCALE_DOCS) -> dict:
+    """epoch_pack + pack_texts at corpus scale (verdict r4 task 7): the
+    composed layout jobs over the same 2.56M-doc synthetic corpus as the
+    dedup family. Analytic check: pack count equals the prefix-sum
+    semantics' closed form floor((total_tokens - tokens(last_doc)) /
+    budget) + 1 (docs never split, so the last doc's FIRST token fixes the
+    highest pack id). pack_texts runs with the default broadcast_limit=2M,
+    so at 2.56M assignment rows it exercises the bucketed co-partition
+    (100-TB) path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wikidata_edit_history_ray.stages.distributed import (
+        _get_broadcast_dict, broadcast_dataset)
+    from wikidata_edit_history_ray.stages.packing import (materialize_packs,
+                                                          pack_sequences)
+    from wikidata_edit_history_ray.stages.sampling import epoch_shuffle
+
+    os.makedirs("/tmp/widiff_cache", exist_ok=True)
+    path = _gen_dedup_corpus(f"/tmp/widiff_cache/dedup_scale_{n_docs}_v3",
+                             n_docs, sf_dir)
+    budget = 2048
+
+    def read():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def tok(b):
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "ws": pc.cast(pc.count_substring_regex(
+                pc.fill_null(b.column("text"), ""), pattern=r"\S+"),
+                pa.int64())})
+
+    timings, counts, analytic = {}, {}, {}
+
+    def check_packs(packed, order_col, label):
+        # closed form from the operator's own semantics — three tiny
+        # aggregates + one slim filter pass, never a driver materialization
+        total = packed.sum("ws")
+        hi = packed.max(order_col)
+        n_packs = packed.select_columns(["pack_id"]) \
+            .groupby("pack_id").count().count()
+        last_tok = packed.filter(
+            expr=f"{order_col} == {int(hi)}").take(1)[0]["ws"]
+        expect = (int(total) - int(last_tok)) // budget + 1
+        counts[f"{label}_packs"] = n_packs
+        counts[f"{label}_total_tokens"] = int(total)
+        analytic[label] = n_packs == expect
+        return n_packs
+
+    # --- epoch_pack: seeded exact epoch shuffle -> pack over epoch_pos ----
+    t0 = time.time()
+    toks = read().map_batches(tok, batch_format="pyarrow")
+    pos = epoch_shuffle(read().select_columns(["doc_id"]), seed=0)
+    pos_refs = broadcast_dataset(pos)
+
+    def attach(b):
+        pmap = _get_broadcast_dict(pos_refs, "doc_id", "epoch_pos")
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ep = np.fromiter((pmap[int(v)] for v in ids), dtype=np.int64,
+                         count=len(ids))
+        return b.append_column("epoch_pos", pa.array(ep, type=pa.int64()))
+
+    packed = pack_sequences(
+        toks.map_batches(attach, batch_format="pyarrow")
+        .select_columns(["epoch_pos", "ws"]),
+        token_col="ws", max_tokens=budget,
+        order_col="epoch_pos").materialize()
+    check_packs(packed, "epoch_pos", "epoch_pack")
+    timings["epoch_pack"] = round(time.time() - t0, 3)
+
+    # --- pack_texts: assignment + shard materialization (bucketed path) --
+    t0 = time.time()
+    docs = read()
+    assign = pack_sequences(docs.map_batches(tok, batch_format="pyarrow"),
+                            token_col="ws", max_tokens=budget,
+                            order_col="doc_id")
+    shards = materialize_packs(docs, assign, token_col="ws").materialize()
+    counts["pack_texts_shards"] = shards.count()
+    counts["pack_texts_docs"] = int(shards.sum("n_docs"))
+    assign_packs = check_packs(assign, "doc_id", "pack_assign")
+    analytic["pack_texts"] = (
+        counts["pack_texts_shards"] == assign_packs
+        and counts["pack_texts_docs"] == n_docs)
+    timings["pack_texts"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "epoch_pack + pack_texts at corpus scale",
+        "value": round(sum(timings.values()), 3), "unit": "sec",
+        "queries": timings, "counts": counts,
+        "analytic_match": analytic,
+        "n_docs": n_docs, "num_cpus": num_cpus,
+        "docs_per_sec": {k: round(n_docs / v, 1)
+                         for k, v in timings.items()},
+    }
+
+
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--scaling-child":
@@ -679,9 +784,20 @@ def main():
 
         ray.shutdown()
         return
+    if args and args[0] == "--pack-scale":
+        n = int(args[1]) if len(args) > 1 else DEDUP_SCALE_DOCS
+        print(json.dumps(run_pack_scale(SF_DIR, NUM_CPUS, n)))
+        import ray
+
+        ray.shutdown()
+        return
     if args and args[0] == "--semdedup-scale":
         n = int(args[1]) if len(args) > 1 else 1_000_000
-        print(json.dumps(run_semdedup_scale(SF_DIR, NUM_CPUS, n)))
+        # k scales with the corpus by default (the operator's own 100-TB
+        # rule: fixed k makes the per-cluster O((n/k)^2) scan superlinear
+        # in n; k ~ n/1000 holds the quadratic unit constant)
+        k = int(args[2]) if len(args) > 2 else max(256, n // 1000)
+        print(json.dumps(run_semdedup_scale(SF_DIR, NUM_CPUS, n, k)))
         import ray
 
         ray.shutdown()

@@ -97,10 +97,15 @@ def brute_force_topk(ds, query_matrix, k: int = 10, vec_col: str = "embedding",
     candidates = ds.map_batches(stage, batch_format="pyarrow",
                                 concurrency=concurrency)
 
-    def merge(group):
-        return group.sort_values(["score", id_col], ascending=[False, True]).head(k)
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return candidates.groupby("query_idx").map_groups(merge, batch_format="pandas")
+        idx = pc.sort_indices(group, sort_keys=[("score", "descending"),
+                                                (id_col, "ascending")])
+        return group.take(idx[:k])
+
+    return candidates.groupby("query_idx").map_groups(
+        merge, batch_format="pyarrow")
 
 
 class IVFIndex:
