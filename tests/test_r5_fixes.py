@@ -40,18 +40,39 @@ class TestStratumKeyNullBlocks:
         assert ws.stratum.isna().sum() == 1
 
     def test_key_normalizes_integral_floats(self):
-        import pandas as pd
-
         from wikidata_edit_history_ray.stages.sampling import (
-            _NULL_STRAT, _strat_key_column)
+            _NULL_STRAT, _strat_keys)
 
-        int_block = pd.DataFrame({"s": pd.array([5, 7], dtype="int64")})
-        float_block = pd.DataFrame({"s": [5.0, 7.0, np.nan]})
-        assert _strat_key_column(int_block, "s") == ["5", "7"]
-        assert _strat_key_column(float_block, "s") == \
-            ["5", "7", _NULL_STRAT]
-        frac = pd.DataFrame({"s": [2.5, None]})
-        assert _strat_key_column(frac, "s") == ["2.5", _NULL_STRAT]
+        assert _strat_keys(pa.array([5, 7], pa.int64())) == ["5", "7"]
+        assert _strat_keys(pa.array([5.0, 7.0, float("nan"), None])) == \
+            ["5", "7", _NULL_STRAT, _NULL_STRAT]
+        assert _strat_keys(pa.array([2.5, None])) == ["2.5", _NULL_STRAT]
+        # above 2^53 the Arrow-derived key stays EXACT — a pandas-derived
+        # key in a null-containing block would round through float64 and
+        # merge the two strata
+        big = 2 ** 60
+        assert _strat_keys(pa.array([big, big + 1, None], pa.int64())) == \
+            [str(big), str(big + 1), _NULL_STRAT]
+
+    def test_null_id_raises_loudly(self, ray_session):
+        from wikidata_edit_history_ray.stages.sampling import (
+            _fast_rank, _md5_rank)
+
+        for rank in (_md5_rank, _fast_rank):
+            with pytest.raises(ValueError, match="non-null id"):
+                rank([1, None, 3])
+
+    def test_fast_hash_pure_across_block_dtype(self):
+        """The fast hash of an id must not depend on its block's dtype:
+        int64 blocks and float64-coerced (null-padded) blocks hash the
+        same values identically; non-integral float ids raise."""
+        from wikidata_edit_history_ray.stages.sampling import _fast_hash64
+
+        ints = _fast_hash64(np.array([1, 2, 3], dtype=np.int64))
+        floats = _fast_hash64(np.array([1.0, 2.0, 3.0]))
+        assert list(ints) == list(floats)
+        with pytest.raises(ValueError, match="non-integral"):
+            _fast_hash64(np.array([1.5, 2.0]))
 
 
 class TestFastRankMode:
@@ -231,6 +252,44 @@ class TestStringIdCanonicalFilter:
         with pytest.raises(ValueError, match="string_node_limit"):
             _canonical_filter_from_edges(ds, edges, "doc_id",
                                          string_node_limit=1)
+
+    def test_string_ids_zero_edges_pass_through(self, ray_session):
+        """A clean string-id corpus (no near-dups -> empty verified edge
+        set) must pass every doc through, not crash the endpoints groupby
+        on a schema-less empty edge table (r5 review finding)."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.dedup_ops import \
+            near_dup_canonical_filter
+
+        ids = [f"D{i:03d}" for i in range(12)]
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": ids,
+            "text": [" ".join(f"only{i}w{j}" for j in range(14))
+                     for i in range(12)]}), override_num_blocks=3)
+        kept = near_dup_canonical_filter(
+            docs, jaccard_threshold=0.5, num_perm=32, bands=16).to_pandas()
+        assert sorted(kept.doc_id) == ids
+
+    def test_sessionize_nan_keys_one_partition(self, ray_session):
+        """Arrow batches carry float NaN (not null) straight from parquet;
+        NaN keys must still form ONE partition like the pandas isna()
+        semantics the Arrow reducer replaced (r5 review finding)."""
+        import ray.data
+
+        from wikidata_edit_history_ray.stages.windows import sessionize
+
+        nan = float("nan")
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "user_id": pa.array([nan, nan, nan, 7.0], type=pa.float64()),
+            "ts": pa.array([0.0, 10000.0, 10100.0, 0.0],
+                           type=pa.float64())})
+        out = sessionize(ray.data.from_arrow(t), "user_id", "ts", 1800.0,
+                         id_col="event_id").to_pandas() \
+            .set_index("event_id").session_id
+        assert out.loc[1] == 1 and out.loc[2] == 2 and out.loc[3] == 2
+        assert out.loc[4] == 1
 
     def test_cc_rejects_string_endpoints_loudly(self, ray_session):
         import ray.data

@@ -460,15 +460,24 @@ def _canonical_filter_from_edges(ds, edges, id_col: str,
     scale path)."""
     from .cluster import connected_components
 
+    # zero verified edges (a clean corpus) -> nothing to drop; the groupby
+    # below would also lose the schema entirely over an empty edge table
+    # and crash the string-id path on a missing 'node' column
+    if edges.count() == 0:
+        return ds
+
     def endpoints(batch: pa.Table) -> pa.Table:
         vals = pa.concat_arrays(
             [batch.column("cand_a").combine_chunks(),
              batch.column("cand_b").combine_chunks()])
         return pa.table({"node": vals})
 
-    # distinct endpoints via a groupby (edge-sized, stays off the driver)
+    # distinct endpoints via a groupby (edge-sized, stays off the driver);
+    # materialized ONCE — the string path reads it twice (guard count +
+    # rank pull) and CC iterates over it, and each un-pinned read would
+    # re-run the endpoint groupby shuffle over the full edge set
     nodes = edges.map_batches(endpoints, batch_format="pyarrow") \
-        .groupby("node").count().select_columns(["node"])
+        .groupby("node").count().select_columns(["node"]).materialize()
 
     schema = ds.schema()
     id_type = schema.types[schema.names.index(id_col)]

@@ -49,7 +49,12 @@ def adjacent_equal_mask(table: pa.Table, cols) -> np.ndarray:
         a = table.column(c).combine_chunks()
         eq = pc.fill_null(pc.equal(a.slice(1), a.slice(0, n - 1)), False) \
             .to_numpy(zero_copy_only=False)
-        isnull = pc.is_null(a).to_numpy(zero_copy_only=False)
+        # nan_is_null: float NaN groups with null (pandas isna semantics —
+        # Arrow batches read straight from parquet carry NaN, not null, and
+        # pc.equal(NaN, NaN) is False, which would make every NaN-keyed row
+        # its own segment)
+        isnull = pc.is_null(a, nan_is_null=True) \
+            .to_numpy(zero_copy_only=False)
         same &= eq | (isnull[1:] & isnull[:-1])
     return same
 

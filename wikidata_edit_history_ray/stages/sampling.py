@@ -21,28 +21,63 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _id_norm_strs(ids) -> list:
+    """Value-pure string forms of the ids every rank hash consumes: a null
+    id raises loudly (hash-rank sampling of an unnamed row is meaningless,
+    and silently hashing the COERCED block — pandas turns an int64 column
+    float64 when any null is present — would make every OTHER id's hash
+    depend on its block's null composition); integral floats normalize to
+    the int form ('5', never '5.0') for the same reason, matching what
+    DuckDB's md5(CAST(id AS VARCHAR)) produces for integer columns."""
+    out = []
+    for v in ids:
+        if v is None or (isinstance(v, float) and v != v):
+            raise ValueError(
+                "rank hash: id column contains a null — hash-rank sampling "
+                "needs a non-null id per row")
+        if isinstance(v, float) and v.is_integer():
+            out.append(str(int(v)))
+        else:
+            out.append(str(v))
+    return out
+
+
 def _md5_rank(ids) -> list:
-    return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+    return [hashlib.md5(s.encode()).hexdigest() for s in _id_norm_strs(ids)]
 
 
 def _fast_hash64(ids) -> np.ndarray:
     """Fast rank mode's 64-bit hash: integer ids go through pandas
     `hash_array`'s fully vectorized integer bit-mix (one C pass, no Python
-    objects, deterministic fixed constants); anything else falls back to the
-    keyed-siphash object path. Pure function of the id VALUE, so partition
-    shape never changes the sample. Not SQL-restatable (no siphash/bit-mix
-    in DuckDB), which is why md5 stays the oracle-parity default.
-    Measured (2M int64 ids, best-of-3): ~100x less CPU than per-row
-    hashlib.md5 for the bucket/uniform consumers that use the hash
-    directly; ~5x for the 16-byte rank-key path (bytes materialization
-    dominates there)."""
+    objects, deterministic fixed constants); strings go through the
+    keyed-siphash object path. Pure function of the id VALUE: an int64
+    block that pandas coerced to float64 (null padding) hashes through the
+    SAME int path after an exact cast — and nulls / non-integral floats
+    raise loudly, because either would make the dispatch (and so every
+    hash) depend on block composition instead of the value. Not
+    SQL-restatable (no siphash/bit-mix in DuckDB), which is why md5 stays
+    the oracle-parity default. Measured (2M int64 ids, best-of-3): ~100x
+    less CPU than per-row hashlib.md5 for the bucket/uniform consumers
+    that use the hash directly; ~5x for the 16-byte rank-key path (bytes
+    materialization dominates there)."""
     from pandas.util import hash_array
 
     arr = np.asarray(ids)
     if arr.dtype.kind in "iu":
         return hash_array(arr.astype(np.int64, copy=False)
                           .view(np.uint64), categorize=False)
-    s = np.array([str(v) for v in ids], dtype=object)
+    if arr.dtype.kind == "f":
+        if np.isnan(arr).any():
+            raise ValueError(
+                "rank hash: id column contains a null — hash-rank sampling "
+                "needs a non-null id per row")
+        ints = arr.astype(np.int64)
+        if not (ints == arr).all():
+            raise ValueError(
+                "fast rank mode needs integer or string ids; got "
+                "non-integral float ids (use rank_mode='md5' or cast)")
+        return hash_array(ints.view(np.uint64), categorize=False)
+    s = np.array(_id_norm_strs(ids), dtype=object)
     return hash_array(s, hash_key="wdsamplerank0001", categorize=False)
 
 
@@ -80,23 +115,24 @@ def _rank_fn(rank_mode: str):
 _NULL_STRAT = "\x00<null>"
 
 
-def _strat_key_column(df, stratum_col):
-    """Ray's sort-based groupby cannot shuffle a None among string keys
-    (boundary computation compares None < str); group on an explicit
-    string key with nulls mapped to a reserved sentinel instead, keeping
-    the original stratum column for the output.
-
-    Integral floats normalize to the int form: to_pandas turns an int64
-    stratum column into float64 ONLY in blocks that contain a null, so the
-    same stratum value would stringify as '5' in null-free blocks and '5.0'
-    in null-containing ones — splitting one stratum into two groups and
-    over-sampling it. str(int(v)) makes the key a pure function of the
-    VALUE, independent of each block's null composition."""
+def _strat_keys(col) -> list:
+    """String stratum keys derived from the ARROW column, BEFORE any pandas
+    round-trip: Ray's sort-based groupby cannot shuffle a None among string
+    keys (boundary computation compares None < str), so nulls map to a
+    reserved sentinel. Deriving from Arrow makes the key a pure function of
+    the VALUE — to_pandas turns an int64 stratum column float64 only in
+    blocks that contain a null, so a pandas-derived key would stringify the
+    same stratum as '5' in null-free blocks and '5.0' (or, above 2^53, a
+    PRECISION-ROUNDED int) in null-containing ones, splitting one stratum
+    into two groups. Arrow int64 values surface as exact Python ints
+    regardless of null composition. Integral floats (a genuinely-float
+    stratum column) still normalize to the int form so '5.0' and int 5
+    stratify together across mixed-type corpora."""
     out = []
-    for v in df[stratum_col]:
+    for v in col.to_pylist():
         if v is None or (isinstance(v, float) and v != v):
             out.append(_NULL_STRAT)
-        elif isinstance(v, float) and float(v).is_integer():
+        elif isinstance(v, float) and v.is_integer():
             out.append(str(int(v)))
         else:
             out.append(str(v))
@@ -112,13 +148,18 @@ def stratified_sample(ds, stratum_col: str, k: int, id_col: str = "doc_id",
     rank = _rank_fn(rank_mode)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        # ranks and stratum keys both derive from the ARROW columns (exact
+        # Python values, no pandas null-composition coercion), then pandas
+        # does the per-block sort+head; grouping on the sentinel key keeps
+        # NULL strata as one group (SQL PARTITION BY semantics)
+        batch = batch.append_column(
+            "_sk", pa.array(_strat_keys(batch.column(stratum_col)),
+                            type=pa.string()))
+        rk = rank(batch.column(id_col).to_pylist())
         df = batch.to_pandas()
-        df["_rk"] = rank(df[id_col])
-        # dropna=False: SQL PARTITION BY keeps NULL keys as one group —
-        # pandas' default silently discards every null-stratum row
-        df = df.sort_values([stratum_col, "_rk"], kind="mergesort") \
-            .groupby(stratum_col, sort=False, dropna=False).head(k)
-        df["_sk"] = _strat_key_column(df, stratum_col)
+        df["_rk"] = rk
+        df = df.sort_values(["_sk", "_rk"], kind="mergesort") \
+            .groupby("_sk", sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -155,8 +196,8 @@ def hash_split(ds, id_col: str = "doc_id",
     _rank_fn(rank_mode)  # validate loudly up front
 
     def _buckets_md5(ids):
-        return [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-                % 100 for v in ids]
+        return [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                % 100 for s in _id_norm_strs(ids)]
 
     def _buckets_fast(ids):
         # bucket = 64-bit fast hash mod 100 — the same pure-function-of-id
@@ -204,8 +245,9 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
     _rank_fn(rank_mode)  # validate loudly up front
 
     def _us_md5(ids):
-        return [(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-                 + 0.5) / 1152921504606846976.0 for v in ids]  # 16^15
+        return [(int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                 + 0.5) / 1152921504606846976.0
+                for s in _id_norm_strs(ids)]  # 16^15
 
     def _us_fast(ids):
         # u = (64-bit fast hash + 0.5) / 2^64 — the same uniform-in-(0,1)
@@ -233,12 +275,14 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id",
         return out
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        df = add_key(batch).to_pandas()
-        df = df.sort_values([strat, "_wk", id_col],
+        t = add_key(batch)
+        t = t.append_column(
+            "_sk", pa.array(_strat_keys(t.column(strat)), type=pa.string()))
+        df = t.to_pandas()
+        df = df.sort_values(["_sk", "_wk", id_col],
                             ascending=[True, False, True],
                             kind="mergesort") \
-            .groupby(strat, sort=False, dropna=False).head(k)
-        df["_sk"] = _strat_key_column(df, strat)
+            .groupby("_sk", sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -283,13 +327,16 @@ def corpus_mix(ds, group_col: str, targets: dict, total: int,
         return in_schema.append(pa.field("_rk", rk_type))
 
     def local_topq(batch: pa.Table) -> pa.Table:
+        # rank from the ARROW ids (exact values, no pandas coercion), then
+        # the pandas per-block quota pass over the pre-filtered frame
+        rk = rank(batch.column(id_col).to_pylist())
         df = batch.to_pandas()
+        df["_rk"] = rk
         df = df[df[group_col].isin(quotas)]
         if not len(df):
             # a typed empty table — from_pandas on an all-filtered frame
             # types string columns as null and the block schemas diverge
             return _out_schema(batch.schema).empty_table()
-        df["_rk"] = rank(df[id_col])
         df = df.sort_values([group_col, "_rk"], kind="mergesort")
         rn = df.groupby(group_col, sort=False).cumcount()
         df = df[rn.values < df[group_col].map(quotas).values]
