@@ -100,19 +100,24 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     slim = ds.map_batches(slim_hash, batch_format="pyarrow")
 
-    def bucket_losers(group):
-        import pandas as pd
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        from .distributed import adjacent_equal_mask
 
-        if group["_bucket"].iloc[0] >= buckets:  # pre-identified local losers
-            return pd.DataFrame({"drop_id": group[id_col]}).astype(
-                {"drop_id": group[id_col].dtype})
-        g = group.sort_values(["content_hash", id_col], kind="stable")
-        losers = g[g.duplicated(subset=["content_hash"], keep="first")]
-        return pd.DataFrame({"drop_id": losers[id_col]}).astype(
-            {"drop_id": group[id_col].dtype})
+        if group.column("_bucket")[0].as_py() >= buckets:
+            # pre-identified local losers
+            return pa.table(
+                {"drop_id": group.column(id_col).combine_chunks()})
+        idx = pc.sort_indices(group,
+                              sort_keys=[("content_hash", "ascending"),
+                                         (id_col, "ascending")])
+        g = group.take(idx)
+        dup = np.concatenate([[False], adjacent_equal_mask(
+            g, ["content_hash"])])
+        return pa.table({"drop_id": g.column(id_col)
+                        .filter(pa.array(dup)).combine_chunks()})
 
     drop_ds = slim.groupby("_bucket").map_groups(
-        bucket_losers, batch_format="pandas")
+        bucket_losers, batch_format="pyarrow")
     return filter_out_ids(ds, drop_ds, id_col)
 
 
@@ -272,27 +277,30 @@ def minhash_lsh_verified_edges(ds, text_col: str = "text",
         iteration was the measured bottleneck at scale: ~1 sub-group per
         1-2 rows across millions of band rows (~50us each) dominated the
         whole dedup pass."""
-        import pandas as pd
-
-        g = group.sort_values(["bucket", id_col])
-        b = g["bucket"].to_numpy()
-        ids = g[id_col].to_numpy()
+        idx = pc.sort_indices(group, sort_keys=[("bucket", "ascending"),
+                                                (id_col, "ascending")])
+        g = group.take(idx)
+        b = g.column("bucket").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks()
+        n = g.num_rows
         a_parts, b_parts = [], []
         for k in range(1, max_compare + 1):
-            if k >= len(ids):
+            if k >= n:
                 break
-            same = b[k:] == b[:-k]
-            a_parts.append(ids[:-k][same])
-            b_parts.append(ids[k:][same])
-        a_all = np.concatenate(a_parts) if a_parts else np.array([])
-        b_all = np.concatenate(b_parts) if b_parts else np.array([])
-        return pd.DataFrame({"cand_a": a_all, "cand_b": b_all}).astype(
-            {"cand_a": group[id_col].dtype, "cand_b": group[id_col].dtype})
+            same = np.nonzero(b[k:] == b[:-k])[0]
+            a_parts.append(same)
+            b_parts.append(same + k)
+        ai = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+        bi = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+        return pa.table(
+            {"cand_a": ids.take(pa.array(ai, type=pa.int64())),
+             "cand_b": ids.take(pa.array(bi, type=pa.int64()))})
 
     raw_edges = sig_ds.map_batches(
             lambda b: _coarse_from_bucket(b, n_coarse),
             batch_format="pyarrow") \
-        .groupby("_coarse").map_groups(bucket_edges, batch_format="pandas")
+        .groupby("_coarse").map_groups(bucket_edges, batch_format="pyarrow")
 
     # Distinct pairs BEFORE verify: the same (a, b) pair collides in many
     # bands (a true near-dup at J~threshold^{1/rows} hits nearly all of
@@ -668,13 +676,14 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         is a drop when ANY of its max_compare same-bucket predecessors sits
         within the Hamming budget — max_compare shift-compares with a SWAR
         popcount, no per-block-bucket Python loop."""
-        import pandas as pd
-
-        g = group.sort_values(["bucket", id_col])
-        b = g["bucket"].to_numpy()
-        hashes = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        n = len(ids)
+        idx = pc.sort_indices(group, sort_keys=[("bucket", "ascending"),
+                                                (id_col, "ascending")])
+        g = group.take(idx)
+        b = g.column("bucket").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hashes = g.column("simhash").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        n = g.num_rows
         hit = np.zeros(n, dtype=bool)
         for k in range(1, max_compare + 1):
             if k >= n:
@@ -683,11 +692,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             dist = _popcount64(hashes[k:] ^ hashes[:-k])
             hit[k:] |= same & (dist <= max_hamming)
         # a drop can appear under several block keys: dedupe locally
-        return pd.DataFrame({"drop_id": pd.unique(ids[hit])}).astype(
-            {"drop_id": group[id_col].dtype})
+        return pa.table({"drop_id": pc.unique(
+            g.column(id_col).filter(pa.array(hit)).combine_chunks())})
 
     drop_ds = slim.map_batches(coarse, batch_format="pyarrow") \
-        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
+        .groupby("_coarse").map_groups(bucket_losers,
+                                       batch_format="pyarrow")
     return filter_out_ids(ds, drop_ds, id_col)
 
 
@@ -773,16 +783,20 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         normalize once, then each of the max_compare predecessor comparisons
         is ONE einsum over aligned slices gated by a same-bucket mask — no
         per-LSH-bucket Python loop or per-bucket stack."""
-        import pandas as pd
+        from .similarity import _vec_matrix
 
-        g = group.sort_values(["lsh_bucket", id_col])
-        n = len(g)
+        n = group.num_rows
+        id_type = group.schema.field(id_col).type
         if n < 2:
-            return pd.DataFrame({"drop_id": pd.Series(
-                [], dtype=group[id_col].dtype)})
-        b = g["lsh_bucket"].to_numpy()
-        ids = g[id_col].to_numpy()
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float32)
+            return pa.table({"drop_id": pa.array([], type=id_type)})
+        idx = pc.sort_indices(group, sort_keys=[("lsh_bucket", "ascending"),
+                                                (id_col, "ascending")])
+        g = group.take(idx)
+        b = g.column("lsh_bucket").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # zero-copy Arrow values-buffer read instead of np.stack over an
+        # object array of Python lists
+        vecs = _vec_matrix(g.column(vec_col)).astype(np.float32)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         vecs = vecs / norms[:, None]
@@ -793,11 +807,12 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             same = b[k:] == b[:-k]
             sims = np.einsum("ij,ij->i", vecs[k:], vecs[:-k])
             hit[k:] |= same & (sims >= cosine_threshold)
-        return pd.DataFrame({"drop_id": pd.unique(ids[hit])}).astype(
-            {"drop_id": group[id_col].dtype})
+        return pa.table({"drop_id": pc.unique(
+            g.column(id_col).filter(pa.array(hit)).combine_chunks())})
 
     drop_ds = bds.map_batches(coarse, batch_format="pyarrow") \
-        .groupby("_coarse").map_groups(bucket_losers, batch_format="pandas")
+        .groupby("_coarse").map_groups(bucket_losers,
+                                       batch_format="pyarrow")
     return filter_out_ids(ds, drop_ds, id_col)
 
 
