@@ -93,16 +93,22 @@ def pack_sequences(ds, token_col: str, max_tokens: int,
         offsets[r] = acc
         acc += per_range.get(r, 0)
 
-    def finalize(group):
-        g = group.sort_values(order_col, kind="mergesort")
-        toks = g[token_col].to_numpy(dtype=np.int64)
-        start = offsets[int(g["_range"].iloc[0])]
-        prefix_excl = start + np.cumsum(toks) - toks
-        g = g.drop(columns=["_range"]).copy()
-        g["pack_id"] = prefix_excl // max_tokens
-        return g
+    def finalize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return tagged.groupby("_range").map_groups(finalize, batch_format="pandas")
+        idx = pc.sort_indices(group,
+                              sort_keys=[(order_col, "ascending")])
+        g = group.take(idx)
+        toks = g.column(token_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        start = offsets[g.column("_range")[0].as_py()]
+        prefix_excl = start + np.cumsum(toks) - toks
+        return g.drop_columns(["_range"]).append_column(
+            "pack_id", pa.array(prefix_excl // max_tokens,
+                                type=pa.int64()))
+
+    return tagged.groupby("_range").map_groups(finalize,
+                                               batch_format="pyarrow")
 
 
 _SPAN_IDX_BITS = 20  # span order key = qnum << 20 | span_index
