@@ -4,11 +4,16 @@ exact (rows, schema, values) matches — the same gate CORRECTNESS_r{N}.json
 applies at sf0.01. SUBSET enumerates queries() dynamically so a new query
 can never ship driver-unverified.
 """
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+# sf0.001 keeps the full 74-query sweep ~2.5 min in the suite; the driver
+# compares at sf0.01 — set GRAFT_CONTRACT_SF=/root/testdata/sf0.01 to run
+# this same sweep at the driver's tier locally
+SF = os.environ.get("GRAFT_CONTRACT_SF", "/root/testdata/sf0.001")
 
 
 def _all_query_names():
